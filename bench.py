@@ -1,0 +1,78 @@
+"""Headline benchmark: vectorized env throughput on one chip.
+
+Metric: env-steps/s at 4096 lockstep envs on the reference training config
+(grid 25, 10 plants, 12 obstacles, LIDAR 16x6 -> 107-dim obs), random
+actions, auto-reset — directly comparable to the reference's measured
+~11.4k env-steps/s at 64 DummyVecEnv Python envs (BASELINE.md: 10.05M steps
+in <=881 s across `train_improved1/gym/env_*.monitor.csv`).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "env_steps_per_sec", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.2")
+
+BASELINE_STEPS_PER_SEC = 11_400.0   # BASELINE.md, derived from monitor CSVs
+NUM_ENVS = 4096
+CHUNK = 256          # env steps fused per device call
+CHUNKS_TIMED = 8     # timed device calls
+WARMUP_CHUNKS = 2
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from rlenv_tpu import EnvConfig, PlantOS
+    from rlenv_tpu.env.vector import VecPlantOS
+
+    env = PlantOS(EnvConfig.training())
+    venv = VecPlantOS(env, NUM_ENVS)
+
+    @jax.jit
+    def rollout_chunk(states, key):
+        def body(carry, _):
+            states, key = carry
+            key, k_act = jax.random.split(key)
+            actions = jax.random.randint(k_act, (NUM_ENVS,), 0, 5)
+            states, _, reward, _, _, _ = venv.step(states, actions)
+            return (states, key), reward.sum()
+
+        (states, key), rewards = jax.lax.scan(body, (states, key), None,
+                                              length=CHUNK)
+        return states, key, rewards.sum()
+
+    key = jax.random.PRNGKey(0)
+    states, _, _ = venv.reset(key)
+
+    for _ in range(WARMUP_CHUNKS):
+        states, key, acc = rollout_chunk(states, key)
+    jax.block_until_ready(acc)
+
+    t0 = time.perf_counter()
+    for _ in range(CHUNKS_TIMED):
+        states, key, acc = rollout_chunk(states, key)
+    jax.block_until_ready(acc)
+    elapsed = time.perf_counter() - t0
+
+    steps = NUM_ENVS * CHUNK * CHUNKS_TIMED
+    steps_per_sec = steps / elapsed
+    print(json.dumps({
+        "metric": "env_steps_per_sec_4096envs_1chip",
+        "value": round(steps_per_sec, 1),
+        "unit": "env_steps/s",
+        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Shared building blocks for the on-device trainers."""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class EpisodeStats:
+    """Device-side episode statistics accumulator.
+
+    Replaces SB3's per-env ``Monitor`` CSV bookkeeping
+    (`/root/reference/trainingCode.py:109`) on the hot path: per-env return
+    and length accumulators plus completed-episode aggregates that the host
+    drains between jitted chunks (and may append to monitor CSVs, see
+    :mod:`rlenv_tpu.train.metrics`).
+    """
+
+    ep_return: jnp.ndarray       # f32[B] running return of the live episode
+    ep_length: jnp.ndarray       # i32[B]
+    completed_return_sum: jnp.ndarray  # f32[] sum of finished-episode returns
+    completed_length_sum: jnp.ndarray  # f32[]
+    completed_count: jnp.ndarray       # i32[]
+    last_exploration_sum: jnp.ndarray  # f32[] sum of final exploration %
+    timesteps: jnp.ndarray             # i64-ish total env steps taken
+
+    @classmethod
+    def init(cls, num_envs: int) -> "EpisodeStats":
+        return cls(
+            ep_return=jnp.zeros(num_envs, jnp.float32),
+            ep_length=jnp.zeros(num_envs, jnp.int32),
+            completed_return_sum=jnp.float32(0),
+            completed_length_sum=jnp.float32(0),
+            completed_count=jnp.int32(0),
+            last_exploration_sum=jnp.float32(0),
+            timesteps=jnp.int32(0),
+        )
+
+    def update(self, rewards: jnp.ndarray, done: jnp.ndarray,
+               exploration_pct: jnp.ndarray) -> "EpisodeStats":
+        ep_return = self.ep_return + rewards
+        ep_length = self.ep_length + 1
+        d = done.astype(jnp.float32)
+        return EpisodeStats(
+            ep_return=jnp.where(done, 0.0, ep_return),
+            ep_length=jnp.where(done, 0, ep_length),
+            completed_return_sum=self.completed_return_sum
+            + jnp.sum(ep_return * d),
+            completed_length_sum=self.completed_length_sum
+            + jnp.sum(ep_length.astype(jnp.float32) * d),
+            completed_count=self.completed_count
+            + jnp.sum(done).astype(jnp.int32),
+            last_exploration_sum=self.last_exploration_sum
+            + jnp.sum(exploration_pct * d),
+            timesteps=self.timesteps + rewards.shape[0],
+        )
+
+
+def gae(rewards: jnp.ndarray, values: jnp.ndarray, dones: jnp.ndarray,
+        last_value: jnp.ndarray, gamma: float, gae_lambda: float
+        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Generalized advantage estimation over a [T, B] rollout.
+
+    ``dones[t]`` marks that the episode ended AT step t (no bootstrapping
+    across it). Returns (advantages, returns) of shape [T, B].
+    ``gae_lambda=1.0`` reduces to bootstrapped Monte-Carlo, matching the
+    reference A2C config (`/root/reference/A2C_training.py:235`).
+    """
+    def scan_fn(carry, inp):
+        next_adv, next_value = carry
+        reward, value, done = inp
+        nonterminal = 1.0 - done.astype(jnp.float32)
+        delta = reward + gamma * next_value * nonterminal - value
+        adv = delta + gamma * gae_lambda * nonterminal * next_adv
+        return (adv, value), adv
+
+    (_, _), advantages = jax.lax.scan(
+        scan_fn, (jnp.zeros_like(last_value), last_value),
+        (rewards, values, dones), reverse=True)
+    return advantages, advantages + values
+
+
+def categorical_stats(logits: jnp.ndarray, actions: jnp.ndarray
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(log_prob(actions), entropy) of a categorical distribution."""
+    logp_all = jax.nn.log_softmax(logits)
+    logp = jnp.take_along_axis(logp_all, actions[..., None], axis=-1)[..., 0]
+    entropy = -jnp.sum(jnp.exp(logp_all) * logp_all, axis=-1)
+    return logp, entropy

@@ -1,0 +1,240 @@
+"""DQN with an on-device ring replay buffer.
+
+TPU-native counterpart of the reference's SB3 DQN trainer
+(`/root/reference/trainingCode.py:203-284`). The replay buffer is a set of
+preallocated HBM arrays written with scatter updates and sampled with a
+batched gather — no host round-trips; collection and learning run inside
+one jitted ``lax.scan``.
+
+Hyperparameters mirror `trainingCode.py:226-247`: lr 3e-4, buffer 2M,
+learning_starts 5000, batch 64, tau .005 (soft target update), gamma .99,
+train_freq 4, target_update_interval 5000, eps 1.0 -> 0.05 over 70% of
+training, max_grad_norm 10, net_arch [512, 512, 256], Huber loss (SB3's
+smooth-L1), Adam.
+
+Truncation handling: the stored transition keeps the TRUE successor
+observation (``info['final_obs']``) and bootstraps whenever the episode
+did not terminate — the on-device equivalent of SB3's
+``handle_timeout_termination``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from rlenv_tpu.config import DQNConfig
+from rlenv_tpu.algos.common import EpisodeStats
+from rlenv_tpu.models.mlp import QNetwork
+
+
+@struct.dataclass
+class ReplayBuffer:
+    """Fixed-capacity ring buffer living in HBM."""
+
+    obs: jnp.ndarray        # f32[cap, O]
+    next_obs: jnp.ndarray   # f32[cap, O]
+    actions: jnp.ndarray    # i32[cap]
+    rewards: jnp.ndarray    # f32[cap]
+    terminated: jnp.ndarray  # bool[cap]
+    pos: jnp.ndarray        # i32[] next write index
+    size: jnp.ndarray       # i32[] current fill
+
+    @classmethod
+    def create(cls, capacity: int, obs_dim: int) -> "ReplayBuffer":
+        return cls(
+            obs=jnp.zeros((capacity, obs_dim), jnp.float32),
+            next_obs=jnp.zeros((capacity, obs_dim), jnp.float32),
+            actions=jnp.zeros(capacity, jnp.int32),
+            rewards=jnp.zeros(capacity, jnp.float32),
+            terminated=jnp.zeros(capacity, bool),
+            pos=jnp.int32(0),
+            size=jnp.int32(0),
+        )
+
+    @property
+    def capacity(self) -> int:
+        return self.obs.shape[0]
+
+    def add_batch(self, obs, next_obs, actions, rewards, terminated
+                  ) -> "ReplayBuffer":
+        B = obs.shape[0]
+        idx = (self.pos + jnp.arange(B)) % self.capacity
+        return ReplayBuffer(
+            obs=self.obs.at[idx].set(obs),
+            next_obs=self.next_obs.at[idx].set(next_obs),
+            actions=self.actions.at[idx].set(actions),
+            rewards=self.rewards.at[idx].set(rewards),
+            terminated=self.terminated.at[idx].set(terminated),
+            pos=(self.pos + B) % self.capacity,
+            size=jnp.minimum(self.size + B, self.capacity),
+        )
+
+    def sample(self, key: jax.Array, batch_size: int) -> Dict[str, jnp.ndarray]:
+        idx = jax.random.randint(key, (batch_size,), 0,
+                                 jnp.maximum(self.size, 1))
+        return dict(obs=self.obs[idx], next_obs=self.next_obs[idx],
+                    actions=self.actions[idx], rewards=self.rewards[idx],
+                    terminated=self.terminated[idx])
+
+
+@struct.dataclass
+class DQNState:
+    params: Any
+    target_params: Any
+    opt_state: Any
+    buffer: ReplayBuffer
+    env_state: Any
+    obs: jnp.ndarray
+    key: jnp.ndarray
+    stats: EpisodeStats
+    n_calls: jnp.ndarray     # i32[] vec-env steps taken (SB3 _n_calls)
+
+
+class DQNTrainer:
+    """On-device DQN over a vectorized (optionally curriculum) env."""
+
+    def __init__(self, venv, config: DQNConfig = DQNConfig(),
+                 total_timesteps: int = 10_000_000):
+        self.venv = venv
+        self.config = config
+        self.total_timesteps = total_timesteps
+        self.model = QNetwork(num_actions=venv.num_actions,
+                              hidden_sizes=config.hidden_sizes)
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(config.max_grad_norm),
+            optax.adam(config.learning_rate),
+        )
+        # SB3 updates the target every max(interval // n_envs, 1) vec steps.
+        self._target_every = max(
+            config.target_update_interval // venv.num_envs, 1)
+
+    def init(self, key: jax.Array) -> DQNState:
+        k_env, k_model, k_train = jax.random.split(key, 3)
+        env_state, obs, _ = self.venv.reset(k_env)
+        params = self.model.init(k_model, obs)
+        return DQNState(
+            params=params,
+            target_params=params,
+            opt_state=self.optimizer.init(params),
+            buffer=ReplayBuffer.create(self.config.buffer_size,
+                                       self.venv.obs_dim),
+            env_state=env_state,
+            obs=obs,
+            key=k_train,
+            stats=EpisodeStats.init(obs.shape[0]),
+            n_calls=jnp.int32(0),
+        )
+
+    # -- epsilon schedule (`trainingCode.py:238-240`) -----------------------
+
+    def epsilon(self, timesteps: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        frac = timesteps.astype(jnp.float32) / (
+            cfg.exploration_fraction * self.total_timesteps)
+        frac = jnp.clip(frac, 0.0, 1.0)
+        return (cfg.exploration_initial_eps
+                + frac * (cfg.exploration_final_eps
+                          - cfg.exploration_initial_eps))
+
+    def policy(self, params, obs, key=None, epsilon=0.0,
+               deterministic: bool = False):
+        q = self.model.apply(params, obs)
+        greedy = jnp.argmax(q, axis=-1)
+        if deterministic or key is None:
+            return greedy
+        k_eps, k_rand = jax.random.split(key)
+        B = obs.shape[0]
+        random_actions = jax.random.randint(k_rand, (B,), 0,
+                                            self.venv.num_actions)
+        explore = jax.random.uniform(k_eps, (B,)) < epsilon
+        return jnp.where(explore, random_actions, greedy)
+
+    # -- collection ---------------------------------------------------------
+
+    def _collect_step(self, state: DQNState) -> DQNState:
+        key, k_act = jax.random.split(state.key)
+        eps = self.epsilon(state.stats.timesteps)
+        action = self.policy(state.params, state.obs, k_act, eps)
+        env_state, next_obs, reward, term, trunc, info = self.venv.step(
+            state.env_state, action)
+        done = term | trunc
+        buffer = state.buffer.add_batch(
+            state.obs, info["final_obs"], action, reward, term)
+        stats = state.stats.update(reward, done,
+                                   info["exploration_percentage"])
+        return dataclasses.replace(
+            state, buffer=buffer, env_state=env_state, obs=next_obs,
+            key=key, stats=stats, n_calls=state.n_calls + 1)
+
+    # -- learning -----------------------------------------------------------
+
+    def _gradient_step(self, state: DQNState) -> Tuple[DQNState, Dict]:
+        cfg = self.config
+        key, k_sample = jax.random.split(state.key)
+        batch = state.buffer.sample(k_sample, cfg.batch_size)
+
+        q_next = self.model.apply(state.target_params, batch["next_obs"])
+        target = batch["rewards"] + cfg.gamma * jnp.where(
+            batch["terminated"], 0.0, jnp.max(q_next, axis=-1))
+
+        def loss_fn(params):
+            q = self.model.apply(params, batch["obs"])
+            q_sel = jnp.take_along_axis(
+                q, batch["actions"][:, None], axis=-1)[:, 0]
+            return optax.huber_loss(q_sel, target).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = self.optimizer.update(grads, state.opt_state,
+                                                   state.params)
+        params = optax.apply_updates(state.params, updates)
+        return dataclasses.replace(state, params=params,
+                                   opt_state=opt_state), dict(loss=loss)
+
+    def _maybe_update_target(self, state: DQNState) -> DQNState:
+        """Soft (polyak tau) target update every `_target_every` vec steps."""
+        tau = self.config.tau
+        do = (state.n_calls % self._target_every) == 0
+        target = jax.tree.map(
+            lambda t, p: jnp.where(do, tau * p + (1 - tau) * t, t),
+            state.target_params, state.params)
+        return dataclasses.replace(state, target_params=target)
+
+    def train_iteration(self, state: DQNState) -> Tuple[DQNState, Dict]:
+        """`train_freq` vec-env collect steps, then `gradient_steps`
+        updates (skipped while warming up, `learning_starts`)."""
+        cfg = self.config
+
+        def collect(s, _):
+            s = self._collect_step(s)
+            return self._maybe_update_target(s), None
+        state, _ = jax.lax.scan(collect, state, None, length=cfg.train_freq)
+
+        def do_update(s):
+            def gstep(s2, _):
+                s2, m = self._gradient_step(s2)
+                return s2, m["loss"]
+            s, losses = jax.lax.scan(gstep, s, None,
+                                     length=cfg.gradient_steps)
+            return s, losses.mean()
+
+        def skip(s):
+            return s, jnp.float32(0)
+
+        warm = state.stats.timesteps >= cfg.learning_starts
+        state, loss = jax.lax.cond(warm, do_update, skip, state)
+        return state, dict(loss=loss, epsilon=self.epsilon(
+            state.stats.timesteps))
+
+    def train_chunk(self, state: DQNState, num_iterations: int
+                    ) -> Tuple[DQNState, Dict]:
+        def body(s, _):
+            return self.train_iteration(s)
+        state, metrics = jax.lax.scan(body, state, None,
+                                      length=num_iterations)
+        return state, jax.tree.map(lambda x: x.mean(), metrics)

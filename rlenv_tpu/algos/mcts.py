@@ -1,0 +1,209 @@
+"""Batched Monte-Carlo Tree Search planner.
+
+TPU-native counterpart of the reference's object-graph MCTS
+(`/root/reference/mcts_custom_trainer.py:20-243`). The reference runs
+n_simulations × max_depth ≈ 5-10k serial Python ``env.step`` calls per
+single real action (SURVEY.md §3.3) — the hottest loop in the repo. Here:
+
+* the tree is a fixed-capacity array soup (visits / value / parent /
+  children / untried masks) instead of heap-allocated nodes — the mctx
+  pattern — so the whole search jits;
+* the environment "clone" is free: env state is an immutable pytree, so a
+  simulation just carries its own copy (vs `_copy_env_state`'s manual field
+  copy, `mcts_custom_trainer.py:218-243`);
+* one ``jax.vmap`` runs an independent search for EVERY env in the batch
+  simultaneously — B × n_simulations × max_depth env steps per device call.
+
+Replicated semantics: UCB1 with c=sqrt(2) (`:38-59`), random untried-action
+expansion (`:120-125`), rollout policy = 70% least-visited-neighbor
+heuristic / 30% uniform (`:168-216`), +500 full-exploration rollout bonus
+(`:162-164`), selection rewards NOT backed up (only rollout return is,
+`:127-134`), clone resets the completion bonus / collision counters
+(a fresh env object in the reference), final action = argmax of
+value/max(visits,1) over root children (`:61-68`).
+
+Known benign divergence: exact ties in UCB1/argmax resolve to the lowest
+action index instead of Python-dict insertion order.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rlenv_tpu.config import MCTSConfig
+from rlenv_tpu.env.core import PlantOS, _ACTION_DELTAS
+from rlenv_tpu.env.state import EnvState
+
+_NO_NODE = jnp.int32(-1)
+
+
+class MCTSPlanner:
+    """Model-based planner over the functional PlantOS env (no NN)."""
+
+    def __init__(self, env: PlantOS, config: MCTSConfig = MCTSConfig()):
+        self.env = env
+        self.config = config
+        self._deltas = jnp.asarray(_ACTION_DELTAS[:4])
+        # jit-compiled batched search: (EnvState batch, keys[B]) -> actions[B]
+        self.search_batch = jax.jit(jax.vmap(self.search))
+
+    # -- rollout policy (`mcts_custom_trainer.py:168-216`) -------------------
+
+    def _rollout_action(self, key: jax.Array, state: EnvState) -> jnp.ndarray:
+        k_mode, k_rand, k_fallback = jax.random.split(key, 3)
+        g = self.env.config.grid_size
+
+        neighbors = state.rover[None, :] + self._deltas            # [4, 2]
+        in_bounds = jnp.all((neighbors >= 0) & (neighbors < g), axis=-1)
+        nx = jnp.clip(neighbors[:, 0], 0, g - 1)
+        ny = jnp.clip(neighbors[:, 1], 0, g - 1)
+        valid = in_bounds & ~state.obstacles[nx, ny]
+        visits = jnp.where(valid, state.visit_counts[nx, ny], jnp.iinfo(jnp.int32).max)
+        heur = jnp.where(jnp.any(valid), jnp.argmin(visits),
+                         jax.random.randint(k_fallback, (), 0, 5))
+        rand = jax.random.randint(k_rand, (), 0, 5)
+        use_heur = jax.random.uniform(k_mode) < self.config.rollout_heuristic_prob
+        return jnp.where(use_heur, heur, rand).astype(jnp.int32)
+
+    # -- helpers -------------------------------------------------------------
+
+    def _clone_for_sim(self, state: EnvState) -> EnvState:
+        """`_copy_env_state` semantics: world + exploration copied, episode
+        flags reset to a fresh env's defaults (`mcts_custom_trainer.py:218-243`)."""
+        return state.replace(
+            completion_bonus_given=jnp.bool_(False),
+            collided_with_wall=jnp.bool_(False),
+            total_collisions=jnp.int32(0),
+        )
+
+    def _ucb_child(self, tree, node):
+        """UCB1 over node's existing children (`mcts_custom_trainer.py:38-59`)."""
+        kids = tree["children"][node]                     # i32[5]
+        exists = kids >= 0
+        safe = jnp.maximum(kids, 0)
+        cv = tree["visits"][safe].astype(jnp.float32)
+        cval = tree["value"][safe]
+        pv = tree["visits"][node].astype(jnp.float32)
+        ucb = jnp.where(
+            cv == 0, jnp.inf,
+            cval / jnp.maximum(cv, 1.0)
+            + self.config.c_param * jnp.sqrt(jnp.log(jnp.maximum(pv, 1.0))
+                                             / jnp.maximum(cv, 1.0)))
+        ucb = jnp.where(exists, ucb, -jnp.inf)
+        a = jnp.argmax(ucb)
+        return kids[a], a
+
+    # -- one full search (single env; vmap for the batch) --------------------
+
+    def search(self, root_state: EnvState, key: jax.Array) -> jnp.ndarray:
+        cfg = self.config
+        N = cfg.max_nodes
+
+        tree = dict(
+            visits=jnp.zeros(N, jnp.int32),
+            value=jnp.zeros(N, jnp.float32),
+            parent=jnp.full(N, _NO_NODE),
+            children=jnp.full((N, 5), _NO_NODE),
+            untried=jnp.ones((N, 5), bool),
+            count=jnp.int32(1),          # node 0 = root
+        )
+
+        def simulation(_, carry):
+            tree, key = carry
+            key, k_sel, k_expand, k_roll = jax.random.split(key, 4)
+            sim = self._clone_for_sim(root_state)
+
+            # --- SELECTION (`mcts_custom_trainer.py:109-117`) ---
+            def sel_cond(c):
+                node, sim, depth, stop, _ = c
+                fully = ~jnp.any(tree["untried"][node])
+                has_kids = jnp.any(tree["children"][node] >= 0)
+                return fully & has_kids & (depth < cfg.max_depth) & ~stop
+
+            def sel_body(c):
+                node, sim, depth, stop, k = c
+                child, action = self._ucb_child(tree, node)
+                sim, _, _, term, trunc, _ = self.env.step(sim, action)
+                return (child, sim, depth + 1, term | trunc, k)
+
+            node, sim, depth, stop, _ = jax.lax.while_loop(
+                sel_cond, sel_body,
+                (jnp.int32(0), sim, jnp.int32(0), jnp.bool_(False), k_sel))
+
+            # --- EXPANSION (`mcts_custom_trainer.py:120-125`) ---
+            untried = tree["untried"][node]
+            can_expand = jnp.any(untried) & (depth < cfg.max_depth) & \
+                (tree["count"] < N)
+
+            logits = jnp.where(untried, 0.0, -jnp.inf)
+            exp_action = jax.random.categorical(k_expand, logits)
+            new_idx = tree["count"]
+
+            def do_expand(args):
+                tree, sim, node = args
+                sim2, _, _, _, _, _ = self.env.step(sim, exp_action)
+                tree2 = dict(
+                    visits=tree["visits"],
+                    value=tree["value"],
+                    parent=tree["parent"].at[new_idx].set(node),
+                    children=tree["children"].at[node, exp_action].set(new_idx),
+                    untried=tree["untried"].at[node, exp_action].set(False),
+                    count=tree["count"] + 1,
+                )
+                return tree2, sim2, new_idx
+
+            tree, sim, node = jax.lax.cond(
+                can_expand, do_expand, lambda args: args, (tree, sim, node))
+
+            # --- ROLLOUT (`mcts_custom_trainer.py:139-166`) ---
+            def roll_cond(c):
+                sim, d, total, stop, k = c
+                return (d < cfg.max_depth) & ~stop
+
+            def roll_body(c):
+                sim, d, total, stop, k = c
+                k, k_act = jax.random.split(k)
+                action = self._rollout_action(k_act, sim)
+                sim, _, reward, term, trunc, info = self.env.step(sim, action)
+                done = term | trunc
+                bonus = jnp.where(
+                    done & (info["exploration_percentage"] >= 100.0),
+                    cfg.completion_bonus, 0.0)
+                return (sim, d + 1, total + reward + bonus, done, k)
+
+            _, _, rollout_return, _, _ = jax.lax.while_loop(
+                roll_cond, roll_body,
+                (sim, depth, jnp.float32(0), jnp.bool_(False), k_roll))
+
+            # --- BACKPROP (`mcts_custom_trainer.py:131-134`) ---
+            def bp_cond(c):
+                n, _, _ = c
+                return n >= 0
+
+            def bp_body(c):
+                n, visits, value = c
+                return (tree["parent"][n], visits.at[n].add(1),
+                        value.at[n].add(rollout_return))
+
+            _, visits, value = jax.lax.while_loop(
+                bp_cond, bp_body, (node, tree["visits"], tree["value"]))
+            tree = dict(tree, visits=visits, value=value)
+            return tree, key
+
+        tree, key = jax.lax.fori_loop(0, cfg.n_simulations, simulation,
+                                      (tree, key))
+
+        # --- final decision (`mcts_custom_trainer.py:61-68`) ---
+        kids = tree["children"][0]
+        exists = kids >= 0
+        safe = jnp.maximum(kids, 0)
+        mean_value = tree["value"][safe] / jnp.maximum(
+            tree["visits"][safe].astype(jnp.float32), 1.0)
+        mean_value = jnp.where(exists, mean_value, -jnp.inf)
+        best = jnp.argmax(mean_value).astype(jnp.int32)
+        random_action = jax.random.randint(key, (), 0, 5)
+        return jnp.where(jnp.any(exists), best, random_action)

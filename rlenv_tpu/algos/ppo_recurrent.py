@@ -1,0 +1,213 @@
+"""Recurrent PPO (LSTM policy), fully on device.
+
+TPU-native counterpart of the reference's sb3_contrib RecurrentPPO trainer
+(`/root/reference/trainingCode.py:116-198`). The LSTM is unrolled with
+``jax.lax.scan`` both when collecting rollouts and when re-evaluating
+sequences during the update — the TPU-idiomatic replacement for torch's
+per-step LSTM calls with externally threaded ``lstm_states``
+(`/root/reference/example_usage.py:70-84`).
+
+Hyperparameters mirror `trainingCode.py:140-162`: lr 3e-4, n_steps 1024,
+batch_size 128, 10 epochs, gamma .99, gae_lambda .95, clip .2, ent .02,
+vf .5, max_grad_norm .5, lstm_hidden 2562, net_arch [128,128], Adam.
+
+Documented divergence: SB3 builds minibatches from padded sub-sequences of
+the rollout; here a minibatch is a subset of ENVS with their full-length
+sequences (initial LSTM carry stored at rollout start), which keeps shapes
+static and BPTT exact. Sample efficiency characteristics are equivalent;
+batch_size is interpreted as "sequences per minibatch" rounded to a
+divisor of n_envs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from rlenv_tpu.config import RecurrentPPOConfig
+from rlenv_tpu.algos.common import EpisodeStats, categorical_stats, gae
+from rlenv_tpu.models.recurrent import RecurrentActorCritic
+
+
+@struct.dataclass
+class RecurrentPPOState:
+    params: Any
+    opt_state: Any
+    env_state: Any
+    obs: jnp.ndarray             # [B, O]
+    carry: Any                   # ((h,c),(h,c)) LSTM state
+    episode_start: jnp.ndarray   # bool[B] — True right after a reset
+    key: jnp.ndarray
+    stats: EpisodeStats
+
+
+class RecurrentPPOTrainer:
+    """On-device Recurrent PPO over a vectorized env."""
+
+    def __init__(self, venv, config: RecurrentPPOConfig = RecurrentPPOConfig()):
+        self.venv = venv
+        self.config = config
+        self.model = RecurrentActorCritic(
+            num_actions=venv.num_actions,
+            lstm_hidden_size=config.lstm_hidden_size,
+            hidden_sizes=config.hidden_sizes,
+            enable_critic_lstm=config.enable_critic_lstm)
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(config.max_grad_norm),
+            optax.adam(config.learning_rate),
+        )
+
+    def init(self, key: jax.Array) -> RecurrentPPOState:
+        k_env, k_model, k_train = jax.random.split(key, 3)
+        env_state, obs, _ = self.venv.reset(k_env)
+        B = obs.shape[0]
+        carry = self.model.initial_carry(B)
+        params = self.model.init(k_model, obs, carry,
+                                 jnp.ones(B, bool))
+        return RecurrentPPOState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            env_state=env_state,
+            obs=obs,
+            carry=carry,
+            episode_start=jnp.ones(B, bool),
+            key=k_train,
+            stats=EpisodeStats.init(B),
+        )
+
+    # -- acting -------------------------------------------------------------
+
+    def policy(self, params, obs, carry, episode_start, key=None,
+               deterministic: bool = False):
+        logits, value, carry = self.model.apply(params, obs, carry,
+                                                episode_start)
+        if deterministic or key is None:
+            action = jnp.argmax(logits, axis=-1)
+        else:
+            action = jax.random.categorical(key, logits)
+        return action, logits, value, carry
+
+    # -- rollout ------------------------------------------------------------
+
+    def _rollout_step(self, state: RecurrentPPOState, _):
+        key, k_act = jax.random.split(state.key)
+        action, logits, value, carry = self.policy(
+            state.params, state.obs, state.carry, state.episode_start, k_act)
+        env_state, next_obs, reward, term, trunc, info = self.venv.step(
+            state.env_state, action)
+        done = term | trunc
+        logp, _ = categorical_stats(logits, action)
+        stats = state.stats.update(reward, done,
+                                   info["exploration_percentage"])
+        transition = dict(obs=state.obs, action=action, reward=reward,
+                          done=done, value=value, logp=logp,
+                          episode_start=state.episode_start)
+        new_state = dataclasses.replace(
+            state, env_state=env_state, obs=next_obs, carry=carry,
+            episode_start=done, key=key, stats=stats)
+        return new_state, transition
+
+    # -- update -------------------------------------------------------------
+
+    def _sequence_forward(self, params, obs_seq, episode_start_seq,
+                          init_carry):
+        """Re-run the policy over [T, M, ...] sequences under scan."""
+        def step(carry, inp):
+            obs, ep_start = inp
+            logits, value, carry = self.model.apply(params, obs, carry,
+                                                    ep_start)
+            return carry, (logits, value)
+
+        _, (logits, values) = jax.lax.scan(
+            step, init_carry, (obs_seq, episode_start_seq))
+        return logits, values
+
+    def _update(self, state: RecurrentPPOState, traj: Dict[str, jnp.ndarray],
+                init_carry) -> Tuple[RecurrentPPOState, Dict]:
+        cfg = self.config
+        B = state.obs.shape[0]
+        # sequences per minibatch: batch_size samples / n_steps-long
+        # sequences, at least 1, rounded down to a divisor of B for static
+        # shapes.
+        seqs_per_mb = min(max(1, cfg.batch_size // cfg.n_steps), B)
+        while B % seqs_per_mb != 0:
+            seqs_per_mb -= 1
+        n_minibatches = B // seqs_per_mb
+
+        # bootstrap value for GAE
+        _, last_value, _ = self.model.apply(
+            state.params, state.obs, state.carry, state.episode_start)
+        advantages, returns = gae(traj["reward"], traj["value"],
+                                  traj["done"], last_value,
+                                  cfg.gamma, cfg.gae_lambda)
+
+        def loss_fn(params, mb):
+            logits, values = self._sequence_forward(
+                params, mb["obs"], mb["episode_start"], mb["carry"])
+            logp, entropy = categorical_stats(logits, mb["action"])
+            adv = mb["adv"]
+            adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+            ratio = jnp.exp(logp - mb["logp"])
+            unclipped = adv * ratio
+            clipped = adv * jnp.clip(ratio, 1 - cfg.clip_range,
+                                     1 + cfg.clip_range)
+            policy_loss = -jnp.minimum(unclipped, clipped).mean()
+            value_loss = jnp.mean((mb["ret"] - values) ** 2)
+            ent = entropy.mean()
+            total = (policy_loss + cfg.vf_coef * value_loss
+                     - cfg.ent_coef * ent)
+            return total, dict(policy_loss=policy_loss,
+                               value_loss=value_loss, entropy=ent)
+
+        data = dict(obs=traj["obs"], episode_start=traj["episode_start"],
+                    action=traj["action"], logp=traj["logp"],
+                    adv=advantages, ret=returns)
+
+        def epoch(carry, _):
+            params, opt_state, key = carry
+            key, k_perm = jax.random.split(key)
+            perm = jax.random.permutation(k_perm, B)
+
+            def minibatch(carry, mb_idx):
+                params, opt_state = carry
+                envs = jax.lax.dynamic_slice_in_dim(
+                    perm, mb_idx * seqs_per_mb, seqs_per_mb)
+                mb = jax.tree.map(lambda x: x[:, envs], data)  # [T, M, ...]
+                mb["carry"] = jax.tree.map(lambda x: x[envs], init_carry)
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, mb)
+                updates, opt_state = self.optimizer.update(grads, opt_state,
+                                                           params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), dict(loss=loss, **aux)
+
+            (params, opt_state), metrics = jax.lax.scan(
+                minibatch, (params, opt_state), jnp.arange(n_minibatches))
+            return (params, opt_state, key), metrics
+
+        (params, opt_state, key), metrics = jax.lax.scan(
+            epoch, (state.params, state.opt_state, state.key), None,
+            length=cfg.n_epochs)
+        metrics = jax.tree.map(lambda x: x.mean(), metrics)
+        return dataclasses.replace(state, params=params,
+                                   opt_state=opt_state, key=key), metrics
+
+    def train_iteration(self, state: RecurrentPPOState
+                        ) -> Tuple[RecurrentPPOState, Dict]:
+        init_carry = state.carry
+        state, traj = jax.lax.scan(self._rollout_step, state, None,
+                                   length=self.config.n_steps)
+        return self._update(state, traj, init_carry)
+
+    def train_chunk(self, state: RecurrentPPOState, num_iterations: int
+                    ) -> Tuple[RecurrentPPOState, Dict]:
+        def body(s, _):
+            return self.train_iteration(s)
+        state, metrics = jax.lax.scan(body, state, None,
+                                      length=num_iterations)
+        return state, jax.tree.map(lambda x: x.mean(), metrics)

@@ -1,0 +1,209 @@
+"""Configuration tree for rlenv_tpu.
+
+One dataclass-based config system replacing the reference's three ad-hoc
+mechanisms (hard-coded constructor kwargs at `trainingCode.py:120-126`,
+argparse CLIs at `A2C_training.py:426-440`, and interactive input() menus at
+`trainingCode.py:461-522`).
+
+All configs are frozen (hashable) so they can be closed over by jitted
+functions or passed as static arguments without retracing hazards.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RewardConfig:
+    """Reward machine constants.
+
+    Mirrors the constant block of the reference env
+    (`/root/reference/gradio-app/plantos_env_new.py:67-95`): the active
+    (DQN-tuned) set plus the two alternative sets the reference keeps as
+    comments, exposed here as named presets.
+    """
+
+    goal: float = 20.0                  # watering a thirsty plant
+    mistake: float = -10.0              # watering a hydrated plant
+    invalid: float = -5.0               # collision / out-of-bounds move
+    water_empty: float = -5.0           # watering empty ground
+    step: float = -0.1                  # per-step penalty
+    exploration: float = 10.0           # first visit to a cell
+    revisit: float = -1.0               # re-entering a visited cell
+    complete_exploration: float = 50.0  # one-time full-exploration bonus
+
+    @classmethod
+    def dqn(cls) -> "RewardConfig":
+        """Active reward set (`plantos_env_new.py:77-85`)."""
+        return cls()
+
+    @classmethod
+    def a2c(cls) -> "RewardConfig":
+        """Commented A2C-tuned set (`plantos_env_new.py:67-75`)."""
+        return cls(goal=200.0, mistake=-20.0, invalid=-11.0, water_empty=-20.0,
+                   step=-0.1, exploration=10.0, revisit=-3.0,
+                   complete_exploration=100.0)
+
+    @classmethod
+    def recurrent_ppo(cls) -> "RewardConfig":
+        """Commented RecurrentPPO-tuned set (`plantos_env_new.py:87-95`)."""
+        return cls(goal=50.0, mistake=-5.0, invalid=-2.0, water_empty=-5.0,
+                   step=-0.05, exploration=5.0, revisit=-0.5,
+                   complete_exploration=200.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvConfig:
+    """PlantOS environment parameters.
+
+    Defaults match the reference constructor
+    (`plantos_env_new.py:25-28`); :meth:`training` gives the config used by
+    every reference trainer (`trainingCode.py:120-126`).
+    """
+
+    grid_size: int = 21
+    num_plants: int = 8
+    num_obstacles: int = 50
+    lidar_range: int = 2
+    lidar_channels: int = 10
+    thirsty_plant_prob: float = 0.7
+    max_steps: int = 1000
+    map_generation_algo: str = "original"  # 'original' | 'maze'
+    rewards: RewardConfig = dataclasses.field(default_factory=RewardConfig)
+
+    # Local visit-map observation window (`plantos_env_new.py:50-51`).
+    visit_map_size: int = 5
+
+    def __post_init__(self):
+        if self.grid_size < 5:
+            raise ValueError("grid_size must be >= 5")
+        if self.map_generation_algo not in ("original", "maze"):
+            raise ValueError(f"unknown map algo {self.map_generation_algo!r}")
+        # Worst-case free-cell check mirroring the reference's ValueError
+        # (`plantos_env_new.py:392-396`): clusters of up to 3x3 cells.
+        max_obstacle_cells = (self.num_obstacles // 3) * 9
+        free_worst_case = self.grid_size * self.grid_size - max_obstacle_cells
+        if free_worst_case < self.num_plants + 1:
+            raise ValueError(
+                f"Potentially not enough free positions "
+                f"({free_worst_case} worst-case) to place {self.num_plants} "
+                f"plants and 1 rover on a {self.grid_size}x{self.grid_size} grid."
+            )
+
+    @property
+    def obs_dim(self) -> int:
+        """Observation size: C*(1+4) LIDAR + 2 position + 5x5 visit map
+        (`plantos_env_new.py:45-59`)."""
+        return (self.lidar_channels * 5 + 2
+                + self.visit_map_size * self.visit_map_size)
+
+    @property
+    def num_actions(self) -> int:
+        """Discrete(5): 0=N, 1=E, 2=S, 3=W, 4=Water (`plantos_env_new.py:42-43`)."""
+        return 5
+
+    @classmethod
+    def training(cls, **overrides) -> "EnvConfig":
+        """The config used by all reference trainers
+        (`trainingCode.py:120-126`, `A2C_training.py:206-212`): 107-dim obs."""
+        kw = dict(grid_size=25, num_plants=10, num_obstacles=12,
+                  lidar_range=6, lidar_channels=16)
+        kw.update(overrides)
+        return cls(**kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class CurriculumConfig:
+    """Progressive curriculum over maze difficulty.
+
+    Two reference variants:
+      * PPO/DQN (`trainingCode.py:24-42`): start 30, +5, <=50 episodes/maze,
+        does NOT end episodes early.
+      * A2C (`A2C_training.py:37-54`): start 40, +10, 3 episodes/maze,
+        forces termination when the threshold is met mid-episode.
+    """
+
+    initial_threshold: float = 30.0
+    max_threshold: float = 100.0
+    threshold_increment: float = 5.0
+    max_episodes_per_maze: int = 50
+    terminate_on_threshold: bool = False
+
+    @classmethod
+    def ppo_dqn(cls) -> "CurriculumConfig":
+        return cls()
+
+    @classmethod
+    def a2c(cls) -> "CurriculumConfig":
+        return cls(initial_threshold=40.0, threshold_increment=10.0,
+                   max_episodes_per_maze=3, terminate_on_threshold=True)
+
+
+@dataclasses.dataclass(frozen=True)
+class A2CConfig:
+    """A2C hyperparameters mirroring `A2C_training.py:229-247`."""
+
+    learning_rate: float = 7e-4
+    n_steps: int = 5
+    gamma: float = 0.99
+    gae_lambda: float = 1.0
+    ent_coef: float = 0.01
+    vf_coef: float = 0.25
+    max_grad_norm: float = 0.5
+    rms_prop_eps: float = 1e-5
+    normalize_advantage: bool = True
+    hidden_sizes: Tuple[int, ...] = (256, 256)
+
+
+@dataclasses.dataclass(frozen=True)
+class DQNConfig:
+    """DQN hyperparameters mirroring `trainingCode.py:226-247`."""
+
+    learning_rate: float = 3e-4
+    buffer_size: int = 2_000_000
+    learning_starts: int = 5_000
+    batch_size: int = 64
+    tau: float = 0.005
+    gamma: float = 0.99
+    train_freq: int = 4
+    gradient_steps: int = 1
+    target_update_interval: int = 5_000
+    exploration_fraction: float = 0.7
+    exploration_initial_eps: float = 1.0
+    exploration_final_eps: float = 0.05
+    max_grad_norm: float = 10.0
+    hidden_sizes: Tuple[int, ...] = (512, 512, 256)
+
+
+@dataclasses.dataclass(frozen=True)
+class RecurrentPPOConfig:
+    """Recurrent PPO hyperparameters mirroring `trainingCode.py:140-162`."""
+
+    learning_rate: float = 3e-4
+    n_steps: int = 1024
+    batch_size: int = 128
+    n_epochs: int = 10
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_range: float = 0.2
+    ent_coef: float = 0.02
+    vf_coef: float = 0.5
+    max_grad_norm: float = 0.5
+    lstm_hidden_size: int = 2562
+    n_lstm_layers: int = 1
+    enable_critic_lstm: bool = True
+    hidden_sizes: Tuple[int, ...] = (128, 128)
+
+
+@dataclasses.dataclass(frozen=True)
+class MCTSConfig:
+    """MCTS planner parameters mirroring `mcts_custom_trainer.py:75-89,246-275`."""
+
+    n_simulations: int = 50
+    c_param: float = 1.414
+    max_depth: int = 100
+    rollout_heuristic_prob: float = 0.7   # `mcts_custom_trainer.py:180`
+    completion_bonus: float = 500.0       # `mcts_custom_trainer.py:162-164`
+    max_nodes: int = 256                  # fixed-size device tree capacity
