@@ -15,9 +15,10 @@ class EpisodeStats:
 
     Replaces SB3's per-env ``Monitor`` CSV bookkeeping
     (`/root/reference/trainingCode.py:109`) on the hot path: per-env return
-    and length accumulators plus completed-episode aggregates that the host
-    drains between jitted chunks (and may append to monitor CSVs, see
-    :mod:`rlenv_tpu.train.metrics`).
+    and length accumulators, completed-episode aggregates, and a fixed-size
+    ring log of finished episodes (return / length / final exploration %)
+    that the host drains between jitted chunks to write Monitor-format CSVs
+    (see :mod:`rlenv_tpu.train.metrics`).
     """
 
     ep_return: jnp.ndarray       # f32[B] running return of the live episode
@@ -26,10 +27,18 @@ class EpisodeStats:
     completed_length_sum: jnp.ndarray  # f32[]
     completed_count: jnp.ndarray       # i32[]
     last_exploration_sum: jnp.ndarray  # f32[] sum of final exploration %
-    timesteps: jnp.ndarray             # i64-ish total env steps taken
+    timesteps: jnp.ndarray             # i32[] total env steps taken
+    # per-episode ring log (drained by the host)
+    log_return: jnp.ndarray      # f32[K]
+    log_length: jnp.ndarray      # i32[K]
+    log_exploration: jnp.ndarray  # f32[K]
+    log_pos: jnp.ndarray         # i32[] monotonically increasing write count
+
+    LOG_CAPACITY = 4096
 
     @classmethod
-    def init(cls, num_envs: int) -> "EpisodeStats":
+    def init(cls, num_envs: int,
+             log_capacity: int = LOG_CAPACITY) -> "EpisodeStats":
         return cls(
             ep_return=jnp.zeros(num_envs, jnp.float32),
             ep_length=jnp.zeros(num_envs, jnp.int32),
@@ -38,6 +47,10 @@ class EpisodeStats:
             completed_count=jnp.int32(0),
             last_exploration_sum=jnp.float32(0),
             timesteps=jnp.int32(0),
+            log_return=jnp.zeros(log_capacity, jnp.float32),
+            log_length=jnp.zeros(log_capacity, jnp.int32),
+            log_exploration=jnp.zeros(log_capacity, jnp.float32),
+            log_pos=jnp.int32(0),
         )
 
     def update(self, rewards: jnp.ndarray, done: jnp.ndarray,
@@ -45,6 +58,17 @@ class EpisodeStats:
         ep_return = self.ep_return + rewards
         ep_length = self.ep_length + 1
         d = done.astype(jnp.float32)
+        K = self.log_return.shape[0]
+
+        # Scatter finished episodes into the ring; non-done envs target an
+        # out-of-bounds slot and are dropped by XLA's scatter 'drop' mode.
+        order = jnp.cumsum(done.astype(jnp.int32)) - 1
+        idx = jnp.where(done, (self.log_pos + order) % K, K)
+        log_return = self.log_return.at[idx].set(ep_return, mode="drop")
+        log_length = self.log_length.at[idx].set(ep_length, mode="drop")
+        log_exploration = self.log_exploration.at[idx].set(
+            exploration_pct, mode="drop")
+
         return EpisodeStats(
             ep_return=jnp.where(done, 0.0, ep_return),
             ep_length=jnp.where(done, 0, ep_length),
@@ -57,6 +81,10 @@ class EpisodeStats:
             last_exploration_sum=self.last_exploration_sum
             + jnp.sum(exploration_pct * d),
             timesteps=self.timesteps + rewards.shape[0],
+            log_return=log_return,
+            log_length=log_length,
+            log_exploration=log_exploration,
+            log_pos=self.log_pos + jnp.sum(done).astype(jnp.int32),
         )
 
 

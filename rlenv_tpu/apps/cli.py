@@ -1,0 +1,102 @@
+"""Unified training/testing CLI.
+
+Replaces the reference's three entry styles — interactive input() menus
+(`/root/reference/trainingCode.py:461-522`), the A2C argparse CLI
+(`A2C_training.py:423-467`), and the MCTS CLI
+(`mcts_custom_trainer.py:454-491`) — with one argparse front-end over the
+config tree.
+
+Examples:
+  python -m rlenv_tpu.apps.cli train --algo a2c --timesteps 100000 \
+      --envs 64 --curriculum
+  python -m rlenv_tpu.apps.cli train --algo dqn --timesteps 10000000
+  python -m rlenv_tpu.apps.cli test --model-path logs/train/models/a2c_final
+  python -m rlenv_tpu.apps.cli mcts --episodes 50 --simulations 50
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from rlenv_tpu.config import CurriculumConfig, EnvConfig
+
+
+def _add_env_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--grid-size", type=int, default=25)
+    p.add_argument("--plants", type=int, default=10)
+    p.add_argument("--obstacles", type=int, default=12)
+    p.add_argument("--lidar-range", type=int, default=6)
+    p.add_argument("--lidar-channels", type=int, default=16)
+    p.add_argument("--map-algo", type=str, default="original",
+                   choices=["original", "maze"])
+
+
+def _env_config(args) -> EnvConfig:
+    return EnvConfig(grid_size=args.grid_size, num_plants=args.plants,
+                     num_obstacles=args.obstacles,
+                     lidar_range=args.lidar_range,
+                     lidar_channels=args.lidar_channels,
+                     map_generation_algo=args.map_algo)
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(
+        prog="rlenv_tpu", description="TPU-native PlantOS/GROW-R trainer")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("train", help="Train a policy")
+    t.add_argument("--algo", type=str, default="a2c",
+                   choices=["a2c", "dqn", "ppo"])
+    t.add_argument("--timesteps", type=int, default=100_000)
+    t.add_argument("--envs", type=int, default=64)
+    t.add_argument("--curriculum", action="store_true")
+    t.add_argument("--log-dir", type=str, default=None)
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--resume", action="store_true")
+    _add_env_args(t)
+
+    e = sub.add_parser("test", help="Run a trained model with rendering")
+    e.add_argument("--model-path", type=str, required=True)
+    e.add_argument("--model-type", type=str, default="auto",
+                   choices=["auto", "dqn", "ppo", "a2c"])
+    e.add_argument("--episodes", type=int, default=5)
+    e.add_argument("--render", type=str, default="rgb_array",
+                   choices=["human", "rgb_array", "none"])
+
+    m = sub.add_parser("mcts", help="Run the MCTS planner")
+    m.add_argument("--episodes", type=int, default=50)
+    m.add_argument("--simulations", type=int, default=50)
+    m.add_argument("--parallel", type=int, default=16)
+    _add_env_args(m)
+
+    b = sub.add_parser("bench", help="Run the throughput benchmark")
+
+    args = parser.parse_args(argv)
+
+    if args.command == "train":
+        from rlenv_tpu.train.trainer import train
+        curriculum = (CurriculumConfig.a2c() if args.algo == "a2c"
+                      else CurriculumConfig.ppo_dqn())
+        train(algo=args.algo, total_timesteps=args.timesteps,
+              n_envs=args.envs, use_curriculum=args.curriculum,
+              env_config=_env_config(args),
+              curriculum_config=curriculum,
+              log_dir=args.log_dir or f"logs/{args.algo}",
+              seed=args.seed, resume=args.resume)
+    elif args.command == "test":
+        from rlenv_tpu.apps.example_usage import main as run_test
+        run_test(model_path=args.model_path, model_type=args.model_type,
+                 episodes=args.episodes, render=args.render,
+                 step_delay=0.0)
+    elif args.command == "mcts":
+        from rlenv_tpu.apps.mcts_runner import run_mcts
+        run_mcts(n_episodes=args.episodes, n_simulations=args.simulations,
+                 grid_size=args.grid_size, num_plants=args.plants,
+                 num_obstacles=args.obstacles, parallel=args.parallel)
+    elif args.command == "bench":
+        import runpy
+        runpy.run_path("bench.py", run_name="__main__")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,146 @@
+"""MCTS train/test host loops.
+
+Parity with `/root/reference/mcts_custom_trainer.py:246-491`: episode loops
+driven by the MCTS planner, periodic stats pickles (every 10 episodes and
+final), running 10-episode averages, and the argparse CLI — except the
+planner itself is the batched device search
+(:class:`rlenv_tpu.algos.mcts.MCTSPlanner`), so N episodes run in LOCKSTEP
+rather than one at a time: with ``--parallel 64`` a "batch episode" plans
+for 64 envs in one device call.
+
+Run: ``python -m rlenv_tpu.apps.mcts_runner --mode train --episodes 50
+--simulations 50``."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rlenv_tpu.config import EnvConfig, MCTSConfig
+from rlenv_tpu.algos.mcts import MCTSPlanner
+from rlenv_tpu.env.core import PlantOS
+
+
+def run_mcts(n_episodes: int = 50, n_simulations: int = 50,
+             grid_size: int = 25, num_plants: int = 10,
+             num_obstacles: int = 12, max_depth: int = 100,
+             parallel: int = 16, save_dir: Optional[str] = "mcts_models",
+             render: bool = False, seed: int = 0,
+             max_episode_steps: Optional[int] = None,
+             verbose: bool = True) -> dict:
+    """Plan with MCTS over batches of episodes; returns the stats dict
+    (same keys as the reference pickles, `mcts_custom_trainer.py:347-353`)."""
+    if save_dir:
+        os.makedirs(save_dir, exist_ok=True)
+    env_cfg = EnvConfig(grid_size=grid_size, num_plants=num_plants,
+                        num_obstacles=num_obstacles, lidar_range=6,
+                        lidar_channels=16)
+    env = PlantOS(env_cfg)
+    planner = MCTSPlanner(env, MCTSConfig(n_simulations=n_simulations,
+                                          max_depth=max_depth,
+                                          max_nodes=max(n_simulations + 8,
+                                                        32)))
+    v_step = jax.jit(jax.vmap(env.step))
+    horizon = max_episode_steps or env_cfg.max_steps
+
+    episode_rewards, episode_lengths, exploration_percentages = [], [], []
+    key = jax.random.PRNGKey(seed)
+    episodes_done = 0
+    batch_idx = 0
+    while episodes_done < n_episodes:
+        B = min(parallel, n_episodes - episodes_done)
+        batch_idx += 1
+        key, k_reset = jax.random.split(key)
+        states, _, _ = jax.vmap(env.reset)(jax.random.split(k_reset, B))
+        returns = np.zeros(B)
+        lengths = np.zeros(B, dtype=int)
+        expl = np.zeros(B)
+        alive = np.ones(B, dtype=bool)
+        t0 = time.time()
+        for step in range(horizon):
+            key, k_search = jax.random.split(key)
+            actions = planner.search_batch(states,
+                                           jax.random.split(k_search, B))
+            states, _, rewards, term, trunc, info = v_step(states, actions)
+            done = np.asarray(term | trunc)
+            r = np.asarray(rewards)
+            e = np.asarray(info["exploration_percentage"])
+            returns += r * alive
+            lengths += alive
+            expl = np.where(alive, e, expl)
+            alive &= ~done
+            if render:
+                from rlenv_tpu.render.render2d import render_frame
+                render_frame(jax.tree.map(lambda x: x[0], states),
+                             env_cfg.lidar_channels, env_cfg.lidar_range)
+            if not alive.any():
+                break
+        episode_rewards += list(returns)
+        episode_lengths += list(lengths)
+        exploration_percentages += list(expl)
+        episodes_done += B
+        if verbose:
+            print(f"Batch {batch_idx}: {B} episodes in "
+                  f"{time.time() - t0:.1f}s | "
+                  f"avg reward {returns.mean():.2f} | "
+                  f"avg exploration {expl.mean():.2f}% | "
+                  f"episodes {episodes_done}/{n_episodes}", flush=True)
+        stats = {
+            "episode_rewards": episode_rewards,
+            "episode_lengths": episode_lengths,
+            "exploration_percentages": exploration_percentages,
+            "n_simulations": n_simulations,
+            "grid_size": grid_size,
+        }
+        if save_dir and (episodes_done % 10 == 0
+                         or episodes_done >= n_episodes):
+            path = os.path.join(save_dir,
+                                f"mcts_stats_ep{episodes_done}.pkl")
+            with open(path, "wb") as f:
+                pickle.dump(stats, f)
+
+    if save_dir:
+        with open(os.path.join(save_dir, "mcts_stats_final.pkl"),
+                  "wb") as f:
+            pickle.dump(stats, f)
+    if verbose:
+        print("=" * 60)
+        print("MCTS RUN COMPLETE")
+        print(f"Total Episodes: {len(episode_rewards)}")
+        print(f"Average Reward: {np.mean(episode_rewards):.2f} ± "
+              f"{np.std(episode_rewards):.2f}")
+        print(f"Average Exploration: "
+              f"{np.mean(exploration_percentages):.2f}% ± "
+              f"{np.std(exploration_percentages):.2f}%")
+        print(f"Average Episode Length: {np.mean(episode_lengths):.1f}")
+    return stats
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="MCTS Runner for PlantOS")
+    parser.add_argument("--mode", type=str, default="train",
+                        choices=["train", "test"])
+    parser.add_argument("--episodes", type=int, default=50)
+    parser.add_argument("--simulations", type=int, default=50)
+    parser.add_argument("--grid-size", type=int, default=25)
+    parser.add_argument("--plants", type=int, default=10)
+    parser.add_argument("--obstacles", type=int, default=12)
+    parser.add_argument("--parallel", type=int, default=16)
+    parser.add_argument("--render", action="store_true")
+    args = parser.parse_args()
+    run_mcts(n_episodes=args.episodes, n_simulations=args.simulations,
+             grid_size=args.grid_size, num_plants=args.plants,
+             num_obstacles=args.obstacles, parallel=args.parallel,
+             render=args.render,
+             save_dir="mcts_models" if args.mode == "train" else None)
+
+
+if __name__ == "__main__":
+    main()

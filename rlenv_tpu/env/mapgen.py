@@ -206,12 +206,22 @@ def generate_maze_host(rng: np.random.Generator, cfg: EnvConfig) -> np.ndarray:
     return walls
 
 
-def generate_maze_pool(seed: int, cfg: EnvConfig, pool_size: int) -> np.ndarray:
+def generate_maze_pool(seed: int, cfg: EnvConfig, pool_size: int,
+                       use_native: bool = True) -> np.ndarray:
     """Pregenerate ``pool_size`` maze layouts host-side → bool[pool, g, g].
 
     Device resets then sample uniformly from this pool, keeping the jitted
-    hot path free of host callbacks.
+    hot path free of host callbacks. Uses the C++ generator
+    (`native/mazegen.cpp`, built on demand) when available; otherwise the
+    pure-Python carver above.
     """
+    if use_native:
+        from rlenv_tpu.env.native import generate_maze_pool_native
+        pool = generate_maze_pool_native(seed, cfg.grid_size, pool_size,
+                                         cfg.num_plants + 1)
+        if pool is not None:
+            return pool
+
     rng = np.random.default_rng(seed)
     layouts = []
     while len(layouts) < pool_size:

@@ -1,0 +1,233 @@
+"""Host-level training driver.
+
+The TPU-native counterpart of the reference's training entry points
+(`/root/reference/trainingCode.py:116-284`, `A2C_training.py:189-293`):
+builds env + trainer from configs, runs jitted multi-iteration chunks on
+device, and between chunks drains episode statistics to Monitor CSVs /
+training_log.txt / TensorBoard, checkpoints via Orbax, and finally saves,
+evaluates (10 deterministic episodes, mirroring ``evaluate_policy``) and
+plots the learning curve.
+
+The host loop touches the device only once per CHUNK (default hundreds of
+updates), not per step — the inverse of the reference's per-step
+GPU↔Python ping-pong (SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rlenv_tpu.config import (A2CConfig, CurriculumConfig, DQNConfig,
+                              EnvConfig, RecurrentPPOConfig)
+from rlenv_tpu.env.core import PlantOS
+from rlenv_tpu.env.curriculum import CurriculumVecPlantOS
+from rlenv_tpu.env.vector import VecPlantOS
+from rlenv_tpu.train.checkpoint import CheckpointManager, save_params
+from rlenv_tpu.train.metrics import (MonitorWriter, TensorBoardWriter,
+                                     TrainingLogWriter)
+from rlenv_tpu.train.plotting import plot_learning_curve
+
+
+def make_venv(env_config: EnvConfig, n_envs: int, use_curriculum: bool,
+              curriculum: Optional[CurriculumConfig] = None):
+    """Env factory mirroring ``make_env_wrapper`` composition
+    (`trainingCode.py:103-111`): raw env -> (curriculum) -> vectorized."""
+    env = PlantOS(env_config)
+    if use_curriculum:
+        return CurriculumVecPlantOS(env, n_envs,
+                                    curriculum or CurriculumConfig())
+    return VecPlantOS(env, n_envs)
+
+
+def make_trainer(algo: str, venv, algo_config=None,
+                 total_timesteps: int = 100_000):
+    from rlenv_tpu.algos.a2c import A2CTrainer
+    from rlenv_tpu.algos.dqn import DQNTrainer
+    from rlenv_tpu.algos.ppo_recurrent import RecurrentPPOTrainer
+
+    algo = algo.lower()
+    if algo == "a2c":
+        return A2CTrainer(venv, algo_config or A2CConfig())
+    if algo == "dqn":
+        return DQNTrainer(venv, algo_config or DQNConfig(),
+                          total_timesteps=total_timesteps)
+    if algo in ("ppo", "recurrent_ppo"):
+        return RecurrentPPOTrainer(venv, algo_config or RecurrentPPOConfig())
+    raise ValueError(f"unknown algo {algo!r}")
+
+
+def _steps_per_iteration(trainer, n_envs: int) -> int:
+    cfg = trainer.config
+    if hasattr(cfg, "train_freq"):       # DQN
+        return cfg.train_freq * n_envs
+    return cfg.n_steps * n_envs          # A2C / PPO
+
+
+@dataclasses.dataclass
+class TrainResult:
+    timesteps: int
+    episodes: int
+    mean_return: float
+    mean_exploration: float
+    wall_seconds: float
+    steps_per_sec: float
+    final_model_path: Optional[str]
+
+
+def train(algo: str = "a2c",
+          total_timesteps: int = 100_000,
+          n_envs: int = 64,
+          use_curriculum: bool = False,
+          env_config: Optional[EnvConfig] = None,
+          algo_config=None,
+          curriculum_config: Optional[CurriculumConfig] = None,
+          log_dir: str = "logs/train",
+          models_dir: Optional[str] = None,
+          seed: int = 0,
+          checkpoint_interval: Optional[int] = None,
+          eval_freq: int = 10_000,
+          iterations_per_chunk: int = 64,
+          resume: bool = False,
+          plot: bool = True,
+          verbose: bool = True) -> Tuple[Any, TrainResult]:
+    """Train a policy; returns (trainer_state, TrainResult)."""
+    env_config = env_config or EnvConfig.training()
+    models_dir = models_dir or os.path.join(log_dir, "models")
+    os.makedirs(models_dir, exist_ok=True)
+
+    venv = make_venv(env_config, n_envs, use_curriculum, curriculum_config)
+    trainer = make_trainer(algo, venv, algo_config, total_timesteps)
+
+    state = trainer.init(jax.random.PRNGKey(seed))
+    ckpt = CheckpointManager(os.path.join(models_dir, "checkpoints"))
+    if resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        if verbose:
+            print(f"Resumed from checkpoint step {ckpt.latest_step()}")
+
+    monitor = MonitorWriter(log_dir)
+    train_log = TrainingLogWriter(log_dir, eval_freq=eval_freq)
+    tb = TensorBoardWriter(os.path.join(log_dir, "tensorboard"))
+
+    steps_per_iter = _steps_per_iteration(trainer, n_envs)
+    chunk_fn = jax.jit(
+        lambda s: trainer.train_chunk(s, iterations_per_chunk))
+    # SB3-style checkpoint cadence: every ~total/10 steps by default
+    # (`A2C_training.py:250-254`).
+    checkpoint_interval = checkpoint_interval or max(
+        total_timesteps // 10, steps_per_iter * iterations_per_chunk)
+    next_ckpt = checkpoint_interval
+
+    t0 = time.time()
+    start_steps = int(state.stats.timesteps)
+    while int(state.stats.timesteps) < total_timesteps:
+        state, metrics = chunk_fn(state)
+        timesteps = int(state.stats.timesteps)
+        summary = monitor.drain(state.stats)
+        train_log.maybe_log(timesteps, state.stats)
+        scalars = {f"train/{k}": float(v) for k, v in metrics.items()}
+        scalars.update({f"rollout/{k}": v for k, v in summary.items()})
+        tb.scalars(timesteps, scalars)
+        if timesteps >= next_ckpt:
+            ckpt.save(timesteps, state)
+            next_ckpt += checkpoint_interval
+        if verbose:
+            sps = (timesteps - start_steps) / max(time.time() - t0, 1e-9)
+            msg = (f"[{algo}] steps={timesteps:,}  "
+                   f"sps={sps:,.0f}")
+            if summary:
+                msg += (f"  ep_ret={summary['mean_return']:.1f}  "
+                        f"expl={summary['mean_exploration']:.1f}%")
+            print(msg, flush=True)
+
+    wall = time.time() - t0
+    timesteps = int(state.stats.timesteps)
+    ckpt.save(timesteps, state, force=True)
+    ckpt.wait()
+
+    final_path = os.path.join(models_dir, f"{algo}_final")
+    save_params(final_path, state.params, metadata={
+        "model_type": "ppo" if algo in ("ppo", "recurrent_ppo") else algo,
+        "algo_config": dataclasses.asdict(trainer.config),
+        "env_config": dataclasses.asdict(env_config),
+        "obs_dim": venv.obs_dim,
+        "num_actions": venv.num_actions,
+        "timesteps": timesteps,
+    })
+
+    episodes = int(state.stats.completed_count)
+    result = TrainResult(
+        timesteps=timesteps,
+        episodes=episodes,
+        mean_return=float(state.stats.completed_return_sum)
+        / max(episodes, 1),
+        mean_exploration=float(state.stats.last_exploration_sum)
+        / max(episodes, 1),
+        wall_seconds=wall,
+        steps_per_sec=(timesteps - start_steps) / max(wall, 1e-9),
+        final_model_path=final_path,
+    )
+    if plot:
+        plot_learning_curve(log_dir, f"{algo.upper()} Learning Curve")
+    tb.close()
+    ckpt.close()
+    if verbose:
+        print(f"Training complete: {result}")
+    return state, result
+
+
+def evaluate(trainer, state, n_eval_episodes: int = 10,
+             max_steps: int = 1000, seed: int = 123,
+             deterministic: bool = True) -> Tuple[float, float]:
+    """Deterministic evaluation over fresh episodes; mirrors SB3's
+    ``evaluate_policy`` call sites (`trainingCode.py:188-194`).
+
+    Runs ``n_eval_episodes`` envs in lockstep and scores each env's FIRST
+    episode (auto-resets after it are masked out).
+    """
+    venv = trainer.venv
+    B = venv.num_envs
+
+    env_state, obs, _ = venv.reset(jax.random.PRNGKey(seed))
+    is_recurrent = hasattr(trainer, "model") and hasattr(
+        trainer.model, "initial_carry")
+    carry = trainer.model.initial_carry(B) if is_recurrent and hasattr(
+        trainer.model, "initial_carry") else None
+
+    def body(loop_state, _):
+        env_state, obs, carry, ep_start, returns, lengths, alive, key = \
+            loop_state
+        key, k_act = jax.random.split(key)
+        if carry is not None:
+            action, _, _, carry = trainer.policy(
+                state.params, obs, carry, ep_start,
+                None if deterministic else k_act,
+                deterministic=deterministic)
+        else:
+            out = trainer.policy(state.params, obs,
+                                 None if deterministic else k_act,
+                                 deterministic=deterministic)
+            action = out[0] if isinstance(out, tuple) else out
+        env_state, obs, reward, term, trunc, info = venv.step(
+            env_state, action)
+        done = term | trunc
+        returns = returns + reward * alive
+        lengths = lengths + alive.astype(jnp.int32)
+        alive = alive & ~done
+        return (env_state, obs, carry, done, returns, lengths, alive,
+                key), None
+
+    init = (env_state, obs, carry, jnp.ones(B, bool),
+            jnp.zeros(B, jnp.float32), jnp.zeros(B, jnp.int32),
+            jnp.ones(B, bool), jax.random.PRNGKey(seed + 1))
+    (_, _, _, _, returns, lengths, alive, _), _ = jax.lax.scan(
+        body, init, None, length=max_steps)
+    rets = np.asarray(returns)[:n_eval_episodes]
+    return float(rets.mean()), float(rets.std())

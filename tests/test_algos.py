@@ -1,0 +1,252 @@
+"""Trainer unit tests: A2C, DQN (+replay buffer), Recurrent PPO, MCTS.
+
+Small configs keep CPU compile/runtimes short; learning-quality runs live
+in the benchmark/training scripts, not the unit suite.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rlenv_tpu import EnvConfig, PlantOS
+from rlenv_tpu.config import (A2CConfig, DQNConfig, MCTSConfig,
+                              RecurrentPPOConfig)
+from rlenv_tpu.algos.a2c import A2CTrainer
+from rlenv_tpu.algos.common import EpisodeStats, gae
+from rlenv_tpu.algos.dqn import DQNTrainer, ReplayBuffer
+from rlenv_tpu.algos.mcts import MCTSPlanner
+from rlenv_tpu.algos.ppo_recurrent import RecurrentPPOTrainer
+from rlenv_tpu.env.vector import VecPlantOS
+
+
+@pytest.fixture(scope="module")
+def venv():
+    env = PlantOS(EnvConfig(grid_size=9, num_plants=2, num_obstacles=3,
+                            lidar_range=2, lidar_channels=4, max_steps=50))
+    return VecPlantOS(env, 8)
+
+
+# -- common ------------------------------------------------------------------
+
+def test_gae_matches_manual():
+    T, B = 4, 1
+    rewards = jnp.array([[1.0], [0.0], [2.0], [1.0]])
+    values = jnp.array([[0.5], [0.4], [0.3], [0.2]])
+    dones = jnp.array([[0.0], [1.0], [0.0], [0.0]])
+    last_value = jnp.array([0.1])
+    gamma, lam = 0.9, 0.8
+    adv, ret = gae(rewards, values, dones, last_value, gamma, lam)
+
+    expected = np.zeros((T, 1))
+    next_adv, next_val = 0.0, 0.1
+    for t in reversed(range(T)):
+        nonterm = 1.0 - float(dones[t, 0])
+        delta = float(rewards[t, 0]) + gamma * next_val * nonterm \
+            - float(values[t, 0])
+        expected[t, 0] = delta + gamma * lam * nonterm * next_adv
+        next_adv, next_val = expected[t, 0], float(values[t, 0])
+    np.testing.assert_allclose(np.asarray(adv), expected, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ret), expected + np.asarray(values),
+                               rtol=1e-5)
+
+
+def test_episode_stats():
+    stats = EpisodeStats.init(2)
+    r = jnp.array([1.0, 2.0])
+    stats = stats.update(r, jnp.array([False, False]), jnp.zeros(2))
+    stats = stats.update(r, jnp.array([True, False]), jnp.array([50.0, 0.0]))
+    assert int(stats.completed_count) == 1
+    assert float(stats.completed_return_sum) == pytest.approx(2.0)
+    assert float(stats.completed_length_sum) == pytest.approx(2.0)
+    assert float(stats.ep_return[0]) == 0.0          # reset after done
+    assert float(stats.ep_return[1]) == pytest.approx(4.0)
+    assert int(stats.timesteps) == 4
+
+
+# -- A2C ---------------------------------------------------------------------
+
+def test_a2c_train_chunk(venv):
+    trainer = A2CTrainer(venv, A2CConfig(hidden_sizes=(32, 32), n_steps=4))
+    state = trainer.init(jax.random.PRNGKey(0))
+    chunk = jax.jit(lambda s: trainer.train_chunk(s, 5))
+    state, metrics = chunk(state)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["entropy"]))
+    assert int(state.stats.timesteps) == 5 * 4 * 8
+    # params actually changed
+    state2, _ = chunk(state)
+    leaves1 = jax.tree.leaves(state.params)
+    leaves2 = jax.tree.leaves(state2.params)
+    assert any(not np.allclose(a, b) for a, b in zip(leaves1, leaves2))
+
+
+def test_a2c_deterministic_policy(venv):
+    trainer = A2CTrainer(venv, A2CConfig(hidden_sizes=(32, 32)))
+    state = trainer.init(jax.random.PRNGKey(0))
+    a1, _, _ = trainer.policy(state.params, state.obs, deterministic=True)
+    a2, _, _ = trainer.policy(state.params, state.obs, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    assert np.asarray(a1).min() >= 0 and np.asarray(a1).max() < 5
+
+
+# -- DQN ---------------------------------------------------------------------
+
+def test_replay_buffer_roundtrip_and_wrap():
+    buf = ReplayBuffer.create(capacity=10, obs_dim=3)
+    obs = jnp.arange(12, dtype=jnp.float32).reshape(4, 3)
+    buf = buf.add_batch(obs, obs + 100, jnp.arange(4, dtype=jnp.int32),
+                        jnp.arange(4, dtype=jnp.float32),
+                        jnp.array([False, True, False, True]))
+    assert int(buf.size) == 4 and int(buf.pos) == 4
+    # wrap around
+    for _ in range(3):
+        buf = buf.add_batch(obs, obs + 100, jnp.arange(4, dtype=jnp.int32),
+                            jnp.arange(4, dtype=jnp.float32),
+                            jnp.zeros(4, bool))
+    assert int(buf.size) == 10 and int(buf.pos) == 6
+    batch = buf.sample(jax.random.PRNGKey(0), 32)
+    assert batch["obs"].shape == (32, 3)
+    np.testing.assert_allclose(np.asarray(batch["next_obs"]),
+                               np.asarray(batch["obs"]) + 100)
+
+
+def test_dqn_epsilon_schedule(venv):
+    trainer = DQNTrainer(venv, DQNConfig(hidden_sizes=(16,),
+                                         buffer_size=100),
+                         total_timesteps=1000)
+    assert float(trainer.epsilon(jnp.int32(0))) == pytest.approx(1.0)
+    assert float(trainer.epsilon(jnp.int32(700))) == pytest.approx(0.05)
+    assert float(trainer.epsilon(jnp.int32(350))) == pytest.approx(
+        1.0 + 0.5 * (0.05 - 1.0))
+    assert float(trainer.epsilon(jnp.int32(10_000))) == pytest.approx(0.05)
+
+
+def test_dqn_train_iterations(venv):
+    cfg = DQNConfig(hidden_sizes=(16,), buffer_size=512, batch_size=8,
+                    learning_starts=16, train_freq=2,
+                    target_update_interval=8)
+    trainer = DQNTrainer(venv, cfg, total_timesteps=10_000)
+    state = trainer.init(jax.random.PRNGKey(0))
+    chunk = jax.jit(lambda s: trainer.train_chunk(s, 6))
+    state, metrics = chunk(state)
+    assert int(state.stats.timesteps) == 6 * 2 * 8
+    assert int(state.buffer.size) == 6 * 2 * 8
+    assert np.isfinite(float(metrics["loss"]))
+    # after warmup the loss must be nonzero at least sometimes
+    state, metrics = chunk(state)
+    assert float(metrics["loss"]) != 0.0
+    # target params have moved toward online params (soft update)
+    diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                        state.params, state.target_params)
+    assert max(jax.tree.leaves(diff)) > 0.0
+
+
+# -- Recurrent PPO -----------------------------------------------------------
+
+def test_recurrent_ppo_train_iteration(venv):
+    cfg = RecurrentPPOConfig(n_steps=8, batch_size=32, n_epochs=2,
+                             lstm_hidden_size=16, hidden_sizes=(16,))
+    trainer = RecurrentPPOTrainer(venv, cfg)
+    state = trainer.init(jax.random.PRNGKey(0))
+    step = jax.jit(trainer.train_iteration)
+    state, metrics = step(state)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.stats.timesteps) == 8 * 8
+    state2, metrics2 = step(state)
+    leaves1 = jax.tree.leaves(state.params)
+    leaves2 = jax.tree.leaves(state2.params)
+    assert any(not np.allclose(a, b) for a, b in zip(leaves1, leaves2))
+
+
+def test_recurrent_policy_memory(venv):
+    """LSTM carry actually changes the policy output across steps."""
+    cfg = RecurrentPPOConfig(lstm_hidden_size=16, hidden_sizes=(16,))
+    trainer = RecurrentPPOTrainer(venv, cfg)
+    state = trainer.init(jax.random.PRNGKey(0))
+    obs = state.obs
+    B = obs.shape[0]
+    carry0 = trainer.model.initial_carry(B)
+    logits1, _, carry1 = trainer.model.apply(
+        state.params, obs, carry0, jnp.zeros(B, bool))
+    logits2, _, _ = trainer.model.apply(
+        state.params, obs, carry1, jnp.zeros(B, bool))
+    assert not np.allclose(np.asarray(logits1), np.asarray(logits2))
+    # episode_start=True resets memory -> same output as carry0
+    logits3, _, _ = trainer.model.apply(
+        state.params, obs, carry1, jnp.ones(B, bool))
+    np.testing.assert_allclose(np.asarray(logits3), np.asarray(logits1),
+                               atol=1e-6)
+
+
+# -- MCTS --------------------------------------------------------------------
+
+def test_mcts_search_batch():
+    env = PlantOS(EnvConfig(grid_size=7, num_plants=2, num_obstacles=0,
+                            lidar_range=2, lidar_channels=4, max_steps=60))
+    planner = MCTSPlanner(env, MCTSConfig(n_simulations=12, max_depth=8,
+                                          max_nodes=16))
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    states, _, _ = jax.vmap(env.reset)(keys)
+    actions = planner.search_batch(states, jax.random.split(
+        jax.random.PRNGKey(1), 4))
+    a = np.asarray(actions)
+    assert a.shape == (4,) and a.min() >= 0 and a.max() < 5
+    # deterministic for identical inputs
+    actions2 = planner.search_batch(states, jax.random.split(
+        jax.random.PRNGKey(1), 4))
+    np.testing.assert_array_equal(a, np.asarray(actions2))
+
+
+def test_mcts_not_worse_than_random_exploration():
+    """Planning sanity: MCTS-driven rovers explore at least as much as
+    uniform-random rovers on the same initial states. (The margin is small
+    at unit-test budgets; faithfully to `mcts_custom_trainer.py:127-134`
+    only rollout returns are backed up, so the planner's edge comes from
+    the heuristic rollouts, not one-step rewards.)"""
+    env = PlantOS(EnvConfig(grid_size=7, num_plants=2, num_obstacles=0,
+                            lidar_range=2, lidar_channels=4, max_steps=200))
+    planner = MCTSPlanner(env, MCTSConfig(n_simulations=16, max_depth=10,
+                                          max_nodes=24))
+    B, horizon = 4, 12
+    keys = jax.random.split(jax.random.PRNGKey(5), B)
+    states_m, _, _ = jax.vmap(env.reset)(keys)
+    states_r = states_m
+    v_step = jax.jit(jax.vmap(env.step))
+    key = jax.random.PRNGKey(9)
+    for t in range(horizon):
+        key, k1, k2 = jax.random.split(key, 3)
+        a_m = planner.search_batch(states_m, jax.random.split(k1, B))
+        states_m, *_ = v_step(states_m, a_m)
+        a_r = jax.random.randint(k2, (B,), 0, 5)
+        states_r, *_ = v_step(states_r, a_r)
+    explored_m = int(states_m.explored_count.sum())
+    explored_r = int(states_r.explored_count.sum())
+    assert explored_m >= explored_r, (explored_m, explored_r)
+
+
+def test_mcts_ucb_selection():
+    """UCB1 math on a hand-built tree (`mcts_custom_trainer.py:38-59`):
+    exploitation + c*sqrt(ln(parent_visits)/child_visits), absent children
+    excluded, unvisited children prioritized."""
+    env = PlantOS(EnvConfig(grid_size=7, num_plants=1, num_obstacles=0,
+                            lidar_range=2, lidar_channels=4))
+    planner = MCTSPlanner(env, MCTSConfig(c_param=1.414))
+    N = 8
+    tree = dict(
+        visits=jnp.array([10, 4, 2, 0, 0, 0, 0, 0], jnp.int32),
+        value=jnp.array([0.0, 8.0, 5.0, 0, 0, 0, 0, 0], jnp.float32),
+        parent=jnp.full(N, -1, jnp.int32),
+        children=jnp.full((N, 5), -1, jnp.int32).at[0, 1].set(1)
+        .at[0, 3].set(2),
+        untried=jnp.ones((N, 5), bool),
+        count=jnp.int32(3),
+    )
+    child, action = planner._ucb_child(tree, jnp.int32(0))
+    # ucb(child1) = 8/4 + 1.414*sqrt(ln(10)/4) = 2 + 1.073 = 3.073
+    # ucb(child2) = 5/2 + 1.414*sqrt(ln(10)/2) = 2.5 + 1.517 = 4.017 -> wins
+    assert int(child) == 2 and int(action) == 3
+    # an unvisited existing child takes priority (inf weight)
+    tree["children"] = tree["children"].at[0, 0].set(3)
+    child, action = planner._ucb_child(tree, jnp.int32(0))
+    assert int(child) == 3 and int(action) == 0

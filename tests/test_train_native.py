@@ -1,0 +1,101 @@
+"""End-to-end train() driver smoke test + native maze generator tests."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from rlenv_tpu.config import A2CConfig, EnvConfig
+
+
+def test_train_driver_end_to_end(tmp_path):
+    """Tiny A2C run through the full host driver: monitor CSV, training
+    log, checkpoints, final model, resume."""
+    from rlenv_tpu.train.trainer import train
+    from rlenv_tpu.apps.policies import load_policy
+
+    env_config = EnvConfig(grid_size=7, num_plants=2, num_obstacles=3,
+                           lidar_range=2, lidar_channels=4, max_steps=20)
+    log_dir = str(tmp_path / "run")
+    state, result = train(
+        algo="a2c", total_timesteps=4 * 2 * 8 * 3, n_envs=8,
+        env_config=env_config,
+        algo_config=A2CConfig(hidden_sizes=(16,), n_steps=2),
+        log_dir=log_dir, seed=0, iterations_per_chunk=4,
+        eval_freq=1, plot=False, verbose=False)
+    assert result.timesteps >= 4 * 2 * 8 * 3
+    assert result.steps_per_sec > 0
+    # artifacts
+    assert os.path.exists(os.path.join(log_dir, "env_all.monitor.csv"))
+    assert os.path.exists(os.path.join(log_dir, "training_log.txt"))
+    ckpt_dir = os.path.join(log_dir, "models", "checkpoints")
+    assert os.listdir(ckpt_dir)
+    final = os.path.join(log_dir, "models", "a2c_final")
+    assert os.path.exists(final)
+    # the saved model loads and acts
+    runner = load_policy(final, "a2c", env_config)
+    a = runner.act(np.zeros(env_config.obs_dim, np.float32))
+    assert 0 <= int(a) < 5
+
+    # resume restores and continues
+    state2, result2 = train(
+        algo="a2c", total_timesteps=result.timesteps + 4 * 2 * 8, n_envs=8,
+        env_config=env_config,
+        algo_config=A2CConfig(hidden_sizes=(16,), n_steps=2),
+        log_dir=log_dir, seed=0, iterations_per_chunk=4,
+        resume=True, plot=False, verbose=False)
+    assert result2.timesteps > result.timesteps
+
+
+def test_evaluate(tmp_path):
+    from rlenv_tpu.train.trainer import evaluate, make_venv, make_trainer
+
+    env_config = EnvConfig(grid_size=7, num_plants=2, num_obstacles=3,
+                           lidar_range=2, lidar_channels=4, max_steps=10)
+    venv = make_venv(env_config, 10, use_curriculum=False)
+    trainer = make_trainer("a2c", venv,
+                           A2CConfig(hidden_sizes=(16,), n_steps=2))
+    state = trainer.init(jax.random.PRNGKey(0))
+    mean, std = evaluate(trainer, state, n_eval_episodes=10, max_steps=10)
+    assert np.isfinite(mean) and np.isfinite(std)
+
+
+def test_native_maze_pool_distribution():
+    """Native pool loads (or is skipped without a toolchain) and its
+    layouts satisfy the structural invariants of the Python carver."""
+    from rlenv_tpu.env.native import generate_maze_pool_native
+    pool = generate_maze_pool_native(7, 25, 8, 12)
+    if pool is None:
+        pytest.skip("native library unavailable")
+    assert pool.shape == (8, 25, 25)
+    open_frac = (~pool).mean()
+    assert 0.5 < open_frac < 0.95        # wide-corridor mazes, mostly open
+    # outer boundary ring mostly walled (rooms start at offset 1)
+    assert pool[:, 0, :].mean() > 0.9
+    # deterministic per seed
+    pool2 = generate_maze_pool_native(7, 25, 8, 12)
+    np.testing.assert_array_equal(pool, pool2)
+    assert not np.array_equal(pool, generate_maze_pool_native(8, 25, 8, 12))
+
+
+def test_maze_env_mode_runs():
+    """'maze' map mode end-to-end: pool-backed resets inside jit."""
+    from rlenv_tpu import PlantOS
+    from rlenv_tpu.env.vector import VecPlantOS
+    import jax.numpy as jnp
+
+    cfg = EnvConfig(grid_size=13, num_plants=3, num_obstacles=10,
+                    lidar_range=2, lidar_channels=4, max_steps=6,
+                    map_generation_algo="maze")
+    env = PlantOS(cfg, maze_pool_size=4)
+    venv = VecPlantOS(env, 6)
+    states, obs, _ = venv.reset(jax.random.PRNGKey(0))
+    # every obstacle layout comes from the pool
+    pool = np.asarray(env._maze_pool)
+    for layout in np.asarray(states.obstacles):
+        assert any(np.array_equal(layout, p) for p in pool)
+    step = jax.jit(venv.step)
+    for _ in range(7):  # cross a truncation boundary (auto-reset from pool)
+        states, obs, *_ = step(states, jnp.zeros(6, jnp.int32))
+    assert obs.shape == (6, cfg.obs_dim)
