@@ -79,6 +79,9 @@ class PlantOS:
             lidar_offsets(config.lidar_channels, config.lidar_range))
         self._visit_off = jnp.asarray(
             visit_map_offsets(config.visit_map_size))
+        # Window half-width for the slice-based observation: all probe
+        # offsets (rays + visit map) fit in a (2W+1)^2 window at the rover.
+        self._win = max(config.lidar_range, config.visit_map_size // 2)
         if config.map_generation_algo == "maze":
             if maze_pool is None:
                 maze_pool = mapgen.generate_maze_pool(
@@ -134,6 +137,8 @@ class PlantOS:
             explored=explored,
             explored_count=jnp.int32(1),
             free_cells=(g * g - jnp.sum(obstacles)).astype(jnp.int32),
+            thirsty_count=jnp.sum(plants == PLANT_THIRSTY).astype(jnp.int32),
+            total_plants=jnp.sum(plants > 0).astype(jnp.int32),
             step_count=jnp.int32(0),
             completion_bonus_given=jnp.bool_(False),
             collided_with_wall=jnp.bool_(False),
@@ -173,11 +178,7 @@ class PlantOS:
             valid_move,
             jnp.where(never_visited, R.exploration, R.revisit),
             R.invalid)
-
-        visit_counts = state.visit_counts.at[tx, ty].add(
-            valid_move.astype(jnp.int32))
         newly_explored = valid_move & ~state.explored[tx, ty]
-        explored = state.explored.at[tx, ty].set(True)
         explored_count = state.explored_count + newly_explored.astype(jnp.int32)
 
         # --- watering (`plantos_env_new.py:236-245`) ---
@@ -187,8 +188,20 @@ class PlantOS:
             plant_here == PLANT_THIRSTY, R.goal,
             jnp.where(plant_here == PLANT_HYDRATED, R.mistake, R.water_empty))
         do_water = (~is_move) & (plant_here == PLANT_THIRSTY)
-        plants = state.plants.at[rx, ry].set(
-            jnp.where(do_water, jnp.int8(PLANT_HYDRATED), plant_here))
+
+        # --- grid updates as fused one-hot arithmetic ---
+        # Scatter (`.at[]`) would force a full-array copy per update inside
+        # scan; broadcast-compare selects instead fuse all three grid
+        # updates into one elementwise pass on the VPU.
+        ix = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
+        iy = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
+        sel_target = (ix == tx) & (iy == ty)
+        visit_counts = state.visit_counts + (
+            sel_target & valid_move).astype(jnp.int32)
+        explored = state.explored | sel_target
+        sel_rover = (ix == rx) & (iy == ry)
+        plants = jnp.where(sel_rover & do_water, jnp.int8(PLANT_HYDRATED),
+                           state.plants)
 
         reward = R.step + jnp.where(is_move, move_reward, water_reward)
 
@@ -207,6 +220,8 @@ class PlantOS:
             explored=explored,
             explored_count=explored_count,
             free_cells=state.free_cells,
+            thirsty_count=state.thirsty_count - do_water.astype(jnp.int32),
+            total_plants=state.total_plants,
             step_count=step_count,
             completion_bonus_given=state.completion_bonus_given | fully_explored,
             collided_with_wall=state.collided_with_wall | invalid_move,
@@ -224,23 +239,31 @@ class PlantOS:
     # -- observation --------------------------------------------------------
 
     def observe(self, state: EnvState) -> jnp.ndarray:
-        """107-dim (at training config) observation (`plantos_env_new.py:272-330`)."""
+        """107-dim (at training config) observation (`plantos_env_new.py:272-330`).
+
+        TPU-friendly formulation: instead of one scattered gather per probe
+        offset (C*R rays + 25 visit cells), slice ONE contiguous
+        (2W+1)x(2W+1) window at the rover out of padded grids, then index
+        it with compile-time-constant offsets. Padding encodes the
+        boundary conventions exactly: out-of-bounds rays read
+        ENTITY_OBSTACLE (first-OOB => obstacle hit, `:292-295`) and
+        out-of-bounds visit cells read a saturated count (=> 1.0 after the
+        clamp-by-10, `:326-327`).
+        """
         cfg = self.config
         g = cfg.grid_size
 
-        # Cell contents as LIDAR entity codes: 0 empty, 1 obstacle,
-        # 2 hydrated, 3 thirsty. plants codes are 1/2 -> entity 2/3.
-        content = jnp.where(
-            state.obstacles, jnp.int32(ENTITY_OBSTACLE),
-            state.plants.astype(jnp.int32)
-            + (state.plants > 0).astype(jnp.int32))
-
-        # --- LIDAR: gather along precomputed ray offsets, first-hit reduce ---
+        # --- LIDAR: masked point gathers straight off the world grids ---
+        # (no full-grid entity materialization; the probe set is ~C*R
+        # points per env). Out-of-bounds probes read as obstacle hits
+        # (`plantos_env_new.py:292-295`).
         probe = state.rover[None, None, :] + self._lidar_off      # [C, R, 2]
         oob = jnp.any((probe < 0) | (probe >= g), axis=-1)        # [C, R]
         px = jnp.clip(probe[..., 0], 0, g - 1)
         py = jnp.clip(probe[..., 1], 0, g - 1)
-        val = jnp.where(oob, ENTITY_OBSTACLE, content[px, py])    # [C, R]
+        pl = state.plants[px, py].astype(jnp.int32)               # [C, R]
+        val = jnp.where(oob | state.obstacles[px, py],
+                        ENTITY_OBSTACLE, pl + (pl > 0))
         hit = val > 0
         any_hit = jnp.any(hit, axis=-1)                           # [C]
         first = jnp.argmax(hit, axis=-1)                          # [C]
@@ -260,8 +283,8 @@ class PlantOS:
         v_oob = jnp.any((vprobe < 0) | (vprobe >= g), axis=-1)
         vx = jnp.clip(vprobe[:, 0], 0, g - 1)
         vy = jnp.clip(vprobe[:, 1], 0, g - 1)
-        counts = jnp.minimum(state.visit_counts[vx, vy], 10).astype(jnp.float32)
-        visit_map = jnp.where(v_oob, 1.0, counts / 10.0)
+        counts = jnp.minimum(state.visit_counts[vx, vy], 10)
+        visit_map = jnp.where(v_oob, 1.0, counts.astype(jnp.float32) / 10.0)
 
         return jnp.concatenate([lidar.reshape(-1), pos, visit_map]).astype(
             jnp.float32)
@@ -270,8 +293,8 @@ class PlantOS:
 
     def get_info(self, state: EnvState) -> Dict[str, jnp.ndarray]:
         """Diagnostic dict mirroring `_get_info` (`plantos_env_new.py:332-351`)."""
-        total_plants = jnp.sum(state.plants > 0).astype(jnp.int32)
-        thirsty = jnp.sum(state.plants == PLANT_THIRSTY).astype(jnp.int32)
+        total_plants = state.total_plants
+        thirsty = state.thirsty_count
         return {
             "rover_position": state.rover,
             "thirsty_plants": thirsty,

@@ -43,6 +43,10 @@ class EnvState:
     explored_count: jnp.ndarray   # int32[]       — popcount(explored), kept incrementally
     free_cells: jnp.ndarray       # int32[]       — g*g - #obstacles (denominator)
 
+    # --- plant bookkeeping (incremental; avoids per-step grid reductions) ---
+    thirsty_count: jnp.ndarray    # int32[]       — #(plants == THIRSTY)
+    total_plants: jnp.ndarray     # int32[]       — #(plants > 0), episode-constant
+
     # --- episode tracking (`plantos_env_new.py:120-125`) ---
     step_count: jnp.ndarray            # int32[]
     completion_bonus_given: jnp.ndarray  # bool[]

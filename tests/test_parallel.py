@@ -1,0 +1,97 @@
+"""Multi-device sharding tests on the forced 8-device CPU platform."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from rlenv_tpu import EnvConfig, PlantOS
+from rlenv_tpu.config import A2CConfig, CurriculumConfig
+from rlenv_tpu.algos.a2c import A2CTrainer
+from rlenv_tpu.env.curriculum import CurriculumVecPlantOS
+from rlenv_tpu.env.vector import VecPlantOS
+from rlenv_tpu.parallel.mesh import (batch_sharding, make_mesh, replicate,
+                                     shard_batch, shard_params)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(8, model_parallel=2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    mesh1 = make_mesh(8)
+    assert dict(mesh1.shape) == {"data": 8, "model": 1}
+    with pytest.raises(ValueError):
+        make_mesh(6, model_parallel=4)
+
+
+def test_shard_batch_placement():
+    mesh = make_mesh(8)
+    x = {"a": jnp.arange(16.0).reshape(16, 1), "b": jnp.arange(16)}
+    sharded = shard_batch(x, mesh)
+    assert sharded["a"].sharding.is_equivalent_to(
+        NamedSharding(mesh, P("data", None)), 2)
+    np.testing.assert_array_equal(np.asarray(sharded["a"]), np.asarray(x["a"]))
+
+
+def test_shard_params_tp_rule():
+    mesh = make_mesh(8, model_parallel=2)
+    params = {"kernel": jnp.zeros((16, 32)), "bias": jnp.zeros((7,)),
+              "odd": jnp.zeros((5, 3))}
+    sharded = shard_params(params, mesh)
+    assert sharded["kernel"].sharding.is_equivalent_to(
+        NamedSharding(mesh, P(None, "model")), 2)
+    # non-divisible / 1-D leaves replicate
+    assert sharded["odd"].sharding.is_equivalent_to(
+        NamedSharding(mesh, P(None, None)), 2)
+    r = replicate({"x": jnp.ones(3)}, mesh)
+    assert r["x"].sharding.is_equivalent_to(NamedSharding(mesh, P(None)), 1)
+
+
+def test_sharded_env_step_matches_single_device():
+    """The vectorized env stepped with a dp-sharded batch produces the
+    same results as unsharded execution."""
+    env = PlantOS(EnvConfig(grid_size=9, num_plants=2, num_obstacles=3,
+                            lidar_range=2, lidar_channels=4, max_steps=50))
+    venv = VecPlantOS(env, 16)
+    states, obs, _ = venv.reset(jax.random.PRNGKey(0))
+    actions = jnp.tile(jnp.arange(4, dtype=jnp.int32), 4)
+
+    s1, o1, r1, *_ = jax.jit(venv.step)(states, actions)
+
+    mesh = make_mesh(8)
+    states_sh = shard_batch(states, mesh)
+    actions_sh = shard_batch(actions, mesh)
+    s2, o2, r2, *_ = jax.jit(venv.step)(states_sh, actions_sh)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
+
+
+def test_sharded_a2c_training_step():
+    """Full A2C train_iteration under dp+tp sharding: runs, updates params,
+    and the gradient reduction over the data axis matches unsharded math."""
+    env = PlantOS(EnvConfig(grid_size=9, num_plants=2, num_obstacles=3,
+                            lidar_range=2, lidar_channels=4, max_steps=50))
+    venv = CurriculumVecPlantOS(env, 16, CurriculumConfig.ppo_dqn())
+    trainer = A2CTrainer(venv, A2CConfig(hidden_sizes=(32, 32), n_steps=2))
+    state = trainer.init(jax.random.PRNGKey(0))
+
+    out_plain, _ = jax.jit(trainer.train_iteration)(state)
+
+    mesh = make_mesh(8, model_parallel=2)
+    state_sh = state.replace(
+        env_state=shard_batch(state.env_state, mesh),
+        obs=shard_batch(state.obs, mesh),
+        params=shard_params(state.params, mesh),
+        opt_state=shard_params(state.opt_state, mesh),
+    )
+    with jax.set_mesh(mesh):
+        out_sh, metrics = jax.jit(trainer.train_iteration)(state_sh)
+    assert np.isfinite(float(metrics["loss"]))
+    # parameters after one update agree with single-device training
+    for a, b in zip(jax.tree.leaves(out_plain.params),
+                    jax.tree.leaves(out_sh.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-3)
