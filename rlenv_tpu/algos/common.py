@@ -32,6 +32,7 @@ class EpisodeStats:
     log_return: jnp.ndarray      # f32[K]
     log_length: jnp.ndarray      # i32[K]
     log_exploration: jnp.ndarray  # f32[K]
+    log_env: jnp.ndarray         # i32[K] which env finished the episode
     log_pos: jnp.ndarray         # i32[] monotonically increasing write count
 
     LOG_CAPACITY = 4096
@@ -50,6 +51,7 @@ class EpisodeStats:
             log_return=jnp.zeros(log_capacity, jnp.float32),
             log_length=jnp.zeros(log_capacity, jnp.int32),
             log_exploration=jnp.zeros(log_capacity, jnp.float32),
+            log_env=jnp.zeros(log_capacity, jnp.int32),
             log_pos=jnp.int32(0),
         )
 
@@ -68,6 +70,8 @@ class EpisodeStats:
         log_length = self.log_length.at[idx].set(ep_length, mode="drop")
         log_exploration = self.log_exploration.at[idx].set(
             exploration_pct, mode="drop")
+        env_ids = jnp.arange(done.shape[0], dtype=jnp.int32)
+        log_env = self.log_env.at[idx].set(env_ids, mode="drop")
 
         return EpisodeStats(
             ep_return=jnp.where(done, 0.0, ep_return),
@@ -84,6 +88,7 @@ class EpisodeStats:
             log_return=log_return,
             log_length=log_length,
             log_exploration=log_exploration,
+            log_env=log_env,
             log_pos=self.log_pos + jnp.sum(done).astype(jnp.int32),
         )
 

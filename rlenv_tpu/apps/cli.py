@@ -29,14 +29,23 @@ def _add_env_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--lidar-channels", type=int, default=16)
     p.add_argument("--map-algo", type=str, default="original",
                    choices=["original", "maze"])
+    p.add_argument("--reward-set", type=str, default="dqn",
+                   choices=["dqn", "a2c", "ppo"],
+                   help="Reward constants: the active DQN-tuned set or the "
+                        "reference's commented A2C/RecurrentPPO-tuned sets "
+                        "(plantos_env_new.py:67-95)")
 
 
 def _env_config(args) -> EnvConfig:
+    from rlenv_tpu.config import RewardConfig
+    rewards = {"dqn": RewardConfig.dqn, "a2c": RewardConfig.a2c,
+               "ppo": RewardConfig.recurrent_ppo}[args.reward_set]()
     return EnvConfig(grid_size=args.grid_size, num_plants=args.plants,
                      num_obstacles=args.obstacles,
                      lidar_range=args.lidar_range,
                      lidar_channels=args.lidar_channels,
-                     map_generation_algo=args.map_algo)
+                     map_generation_algo=args.map_algo,
+                     rewards=rewards)
 
 
 def main(argv=None) -> None:

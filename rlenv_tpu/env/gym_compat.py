@@ -49,7 +49,8 @@ class PlantOSGymEnv(_BASE):
                  observation_mode: str = "grid",
                  render_mode: Optional[str] = None,
                  map_generation_algo: str = "original",
-                 rewards: Optional[RewardConfig] = None):
+                 rewards: Optional[RewardConfig] = None,
+                 assets_dir: Optional[str] = None):
         self.config = EnvConfig(
             grid_size=grid_size, num_plants=num_plants,
             num_obstacles=num_obstacles, lidar_range=lidar_range,
@@ -77,6 +78,10 @@ class PlantOSGymEnv(_BASE):
         self._state = None
         self._seed_counter = 0
         self._window = None
+        # cached texture loading with parent-dir fallback
+        # (`plantos_env_new.py:650-695`)
+        self._assets = None
+        self._assets_dir = assets_dir
 
         if spaces is not None:
             self.action_space = spaces.Discrete(5)
@@ -105,16 +110,19 @@ class PlantOSGymEnv(_BASE):
                 self._pyinfo(info))
 
     def render(self):
-        if self.render_mode == "rgb_array":
-            return render_frame(self._state, self.lidar_channels,
-                                self.lidar_range)
-        if self.render_mode == "human":
-            from rlenv_tpu.render.window import FrameWindow
-            if self._window is None:
-                self._window = FrameWindow(self.grid_size * 30)
-            self._window.show(render_frame(self._state, self.lidar_channels,
-                                           self.lidar_range))
+        if self.render_mode not in ("rgb_array", "human"):
             return None
+        if self._assets is None:
+            from rlenv_tpu.render.assets import load_assets
+            self._assets = load_assets(self._assets_dir)
+        frame = render_frame(self._state, self.lidar_channels,
+                             self.lidar_range, assets=self._assets)
+        if self.render_mode == "rgb_array":
+            return frame
+        from rlenv_tpu.render.window import FrameWindow
+        if self._window is None:
+            self._window = FrameWindow(self.grid_size * 30)
+        self._window.show(frame)
         return None
 
     def close(self) -> None:

@@ -60,10 +60,28 @@ def _draw_disc(img: np.ndarray, cx: int, cy: int, r: int, color) -> None:
     img[y0:y1, x0:x1][mask] = color
 
 
+def _blit(img: np.ndarray, sprite: np.ndarray, row: int, col: int) -> None:
+    """Alpha-composite an RGBA/RGB sprite at pixel (row, col)."""
+    h, w = sprite.shape[:2]
+    tile = img[row:row + h, col:col + w]
+    if sprite.shape[-1] == 4:
+        alpha = sprite[..., 3:4].astype(np.float32) / 255.0
+        tile[:] = tile * (1 - alpha) + sprite[..., :3].astype(np.float32) * alpha
+    else:
+        tile[:] = sprite[..., :3]
+
+
 def render_frame(state: EnvState, lidar_channels: int, lidar_range: int,
                  cell_size: int = 30,
                  assets: Optional[dict] = None) -> np.ndarray:
-    """Render one env state to HxWx3 uint8 (H = W = grid_size*cell_size)."""
+    """Render one env state to HxWx3 uint8 (H = W = grid_size*cell_size).
+
+    ``assets`` maps {'background','obstacle','rover','plant_thirsty',
+    'plant_hydrated'} to RGB(A) sprite arrays (see
+    :func:`rlenv_tpu.render.assets.load_assets`); any missing entry falls
+    back to the reference's solid colors (`plantos_env_new.py:709-756`).
+    """
+    assets = assets or {}
     obstacles = np.asarray(state.obstacles)
     plants = np.asarray(state.plants)
     explored = np.asarray(state.explored)
@@ -73,7 +91,11 @@ def render_frame(state: EnvState, lidar_channels: int, lidar_range: int,
     size = g * cs
 
     img = np.empty((size, size, 3), dtype=np.float32)
-    img[:] = COLOR_GRASS
+    bg = assets.get("background")
+    if bg is not None:
+        img[:] = np.tile(bg[..., :3], (g, g, 1))[:size, :size]
+    else:
+        img[:] = COLOR_GRASS
 
     # explored overlay (alpha blend, `plantos_env_new.py:712-718`)
     overlay = np.kron(explored, np.ones((cs, cs), dtype=bool))
@@ -91,6 +113,20 @@ def render_frame(state: EnvState, lidar_channels: int, lidar_range: int,
     big_mask = np.kron(mask, np.ones((cs, cs), dtype=bool))
     big_cells = np.kron(cells, np.ones((cs, cs, 1), np.float32))
     img[big_mask] = big_cells[big_mask]
+
+    # sprite pass: textured obstacles/plants over the solid fallback
+    obstacle_sprite = assets.get("obstacle")
+    thirsty_sprite = assets.get("plant_thirsty")
+    hydrated_sprite = assets.get("plant_hydrated")
+    if obstacle_sprite is not None:
+        for x, y in np.argwhere(obstacles):
+            _blit(img, obstacle_sprite, x * cs, y * cs)
+    if thirsty_sprite is not None or hydrated_sprite is not None:
+        for x, y in np.argwhere(plants > 0):
+            sprite = (thirsty_sprite if plants[x, y] == 2
+                      else hydrated_sprite)
+            if sprite is not None:
+                _blit(img, sprite, x * cs, y * cs)
 
     # LIDAR rays (`plantos_env_new.py:737-751`)
     rx, ry = int(rover[0]), int(rover[1])
@@ -112,8 +148,12 @@ def render_frame(state: EnvState, lidar_channels: int, lidar_range: int,
         _draw_line(img, center_x, center_y, end_x, end_y, COLOR_RAY)
         _draw_disc(img, end_x, end_y, 2, COLOR_RAY)
 
-    # rover square on top (`plantos_env_new.py:753-756`)
-    img[rx * cs:(rx + 1) * cs, ry * cs:(ry + 1) * cs] = COLOR_ROVER
+    # rover on top (`plantos_env_new.py:753-756`)
+    rover_sprite = assets.get("rover")
+    if rover_sprite is not None:
+        _blit(img, rover_sprite, rx * cs, ry * cs)
+    else:
+        img[rx * cs:(rx + 1) * cs, ry * cs:(ry + 1) * cs] = COLOR_ROVER
 
     # grid lines (`plantos_env_new.py:758-760`)
     for k in range(g + 1):

@@ -40,16 +40,26 @@ class MonitorWriter:
     HEADER_KEYS = ("r", "l", "t")
 
     def __init__(self, log_dir: str, filename: str = "env_all.monitor.csv",
-                 extra_keys: tuple = ("exploration",)):
+                 extra_keys: tuple = ("exploration", "env"),
+                 per_env_files: int = 0):
+        """``per_env_files=N`` additionally writes reference-style
+        ``env_{rank}.monitor.csv`` shards for the first N envs."""
         os.makedirs(log_dir, exist_ok=True)
+        self.log_dir = log_dir
         self.path = os.path.join(log_dir, filename)
         self.t_start = time.time()
         self._drained = 0
         self._extra = extra_keys
+        self.per_env_files = per_env_files
+        self._header = ("#" + json.dumps(
+            {"t_start": self.t_start, "env_id": "PlantOS-v0"}) + "\n"
+            + ",".join(self.HEADER_KEYS + tuple(extra_keys)) + "\n")
         with open(self.path, "w") as f:
-            f.write("#" + json.dumps(
-                {"t_start": self.t_start, "env_id": "PlantOS-v0"}) + "\n")
-            f.write(",".join(self.HEADER_KEYS + tuple(extra_keys)) + "\n")
+            f.write(self._header)
+        self._env_files_created: set = set()
+
+    def _env_path(self, rank: int) -> str:
+        return os.path.join(self.log_dir, f"env_{rank}.monitor.csv")
 
     def drain(self, stats: EpisodeStats) -> Dict[str, float]:
         """Append episodes finished since the last drain; returns summary."""
@@ -65,11 +75,25 @@ class MonitorWriter:
         rs = np.asarray(stats.log_return)[idx]
         ls = np.asarray(stats.log_length)[idx]
         es = np.asarray(stats.log_exploration)[idx]
+        envs = np.asarray(stats.log_env)[idx]
         now = round(time.time() - self.t_start, 6)
         with open(self.path, "a") as f:
-            for r, l, e in zip(rs, ls, es):
+            for r, l, e, n in zip(rs, ls, es, envs):
                 f.write(f"{round(float(r), 6)},{int(l)},{now},"
-                        f"{round(float(e), 4)}\n")
+                        f"{round(float(e), 4)},{int(n)}\n")
+        if self.per_env_files:
+            for r, l, e, n in zip(rs, ls, es, envs):
+                rank = int(n)
+                if rank >= self.per_env_files:
+                    continue
+                path = self._env_path(rank)
+                if rank not in self._env_files_created:
+                    with open(path, "w") as f:
+                        f.write(self._header)
+                    self._env_files_created.add(rank)
+                with open(path, "a") as f:
+                    f.write(f"{round(float(r), 6)},{int(l)},{now},"
+                            f"{round(float(e), 4)},{rank}\n")
         self._drained = pos
         return {
             "episodes": new,

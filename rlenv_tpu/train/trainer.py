@@ -127,25 +127,39 @@ def train(algo: str = "a2c",
 
     t0 = time.time()
     start_steps = int(state.stats.timesteps)
-    while int(state.stats.timesteps) < total_timesteps:
-        state, metrics = chunk_fn(state)
-        timesteps = int(state.stats.timesteps)
-        summary = monitor.drain(state.stats)
-        train_log.maybe_log(timesteps, state.stats)
-        scalars = {f"train/{k}": float(v) for k, v in metrics.items()}
-        scalars.update({f"rollout/{k}": v for k, v in summary.items()})
-        tb.scalars(timesteps, scalars)
-        if timesteps >= next_ckpt:
-            ckpt.save(timesteps, state)
-            next_ckpt += checkpoint_interval
-        if verbose:
-            sps = (timesteps - start_steps) / max(time.time() - t0, 1e-9)
-            msg = (f"[{algo}] steps={timesteps:,}  "
-                   f"sps={sps:,.0f}")
-            if summary:
-                msg += (f"  ep_ret={summary['mean_return']:.1f}  "
-                        f"expl={summary['mean_exploration']:.1f}%")
-            print(msg, flush=True)
+    try:
+        while int(state.stats.timesteps) < total_timesteps:
+            state, metrics = chunk_fn(state)
+            timesteps = int(state.stats.timesteps)
+            summary = monitor.drain(state.stats)
+            train_log.maybe_log(timesteps, state.stats)
+            scalars = {f"train/{k}": float(v) for k, v in metrics.items()}
+            scalars.update({f"rollout/{k}": v for k, v in summary.items()})
+            tb.scalars(timesteps, scalars)
+            if timesteps >= next_ckpt:
+                ckpt.save(timesteps, state)
+                next_ckpt += checkpoint_interval
+            if verbose:
+                sps = (timesteps - start_steps) / max(time.time() - t0, 1e-9)
+                msg = (f"[{algo}] steps={timesteps:,}  "
+                       f"sps={sps:,.0f}")
+                if summary:
+                    msg += (f"  ep_ret={summary['mean_return']:.1f}  "
+                            f"expl={summary['mean_exploration']:.1f}%")
+                print(msg, flush=True)
+    except (KeyboardInterrupt, Exception):
+        # Failure recovery the reference lacks (SURVEY.md §5): persist the
+        # full train state before propagating, so --resume continues from
+        # the interruption instead of step 0.
+        try:
+            ckpt.save(int(state.stats.timesteps), state, force=True)
+            ckpt.wait()
+            if verbose:
+                print(f"[{algo}] interrupted — emergency checkpoint saved "
+                      f"at step {int(state.stats.timesteps):,}", flush=True)
+        except Exception:
+            pass
+        raise
 
     wall = time.time() - t0
     timesteps = int(state.stats.timesteps)

@@ -119,12 +119,28 @@ def test_monitor_writer(tmp_path):
     assert summary["episodes"] == 1 and summary["mean_return"] == 3.0
     lines = open(w.path).read().strip().split("\n")
     assert lines[0].startswith("#")
-    assert lines[1] == "r,l,t,exploration"
+    assert lines[1] == "r,l,t,exploration,env"
     assert len(lines) == 4
     # parse-compatible with the plotting loader
     from rlenv_tpu.train.plotting import _load_monitor_csvs
     x, r, l = _load_monitor_csvs(str(tmp_path))
     assert len(r) == 2
+
+
+def test_monitor_writer_per_env_shards(tmp_path):
+    import jax.numpy as jnp
+    from rlenv_tpu.train.metrics import MonitorWriter
+    stats = EpisodeStats.init(3, log_capacity=8)
+    stats = stats.update(jnp.array([5.0, 1.0, 2.0]),
+                         jnp.array([True, False, True]),
+                         jnp.array([42.0, 0.0, 10.0]))
+    w = MonitorWriter(str(tmp_path / "shards"), per_env_files=3)
+    w.drain(stats)
+    assert os.path.exists(tmp_path / "shards" / "env_0.monitor.csv")
+    assert os.path.exists(tmp_path / "shards" / "env_2.monitor.csv")
+    assert not os.path.exists(tmp_path / "shards" / "env_1.monitor.csv")
+    rows = open(tmp_path / "shards" / "env_2.monitor.csv").read().strip()
+    assert rows.endswith(",2") and ",10.0" in rows
 
 
 def test_training_log_writer(tmp_path):
