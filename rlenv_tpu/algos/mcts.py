@@ -28,9 +28,6 @@ action index instead of Python-dict insertion order.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

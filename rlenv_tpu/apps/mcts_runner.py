@@ -20,7 +20,6 @@ import time
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from rlenv_tpu.config import EnvConfig, MCTSConfig

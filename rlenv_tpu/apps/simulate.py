@@ -17,7 +17,6 @@ from typing import Iterator, Optional, Tuple
 
 import numpy as np
 
-from rlenv_tpu.config import EnvConfig
 from rlenv_tpu.env.gym_compat import PlantOSGymEnv
 from rlenv_tpu.apps.policies import load_policy
 

@@ -12,7 +12,7 @@ functions or passed as static arguments without retracing hazards.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)
