@@ -116,7 +116,14 @@ class RecurrentPPOTrainer:
 
     def _sequence_forward(self, params, obs_seq, episode_start_seq,
                           init_carry):
-        """Re-run the policy over [T, M, ...] sequences under scan."""
+        """Re-run the policy over [T, M, ...] sequences under scan.
+
+        The per-step body is rematerialized (`jax.checkpoint`): BPTT over
+        n_steps=1024 with a 2562-wide LSTM would otherwise save every
+        gate activation for the backward pass (~GBs of HBM); remat trades
+        a second forward pass for keeping only the carries.
+        """
+        @jax.checkpoint
         def step(carry, inp):
             obs, ep_start = inp
             logits, value, carry = self.model.apply(params, obs, carry,

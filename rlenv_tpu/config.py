@@ -131,6 +131,15 @@ class CurriculumConfig:
     max_episodes_per_maze: int = 50
     terminate_on_threshold: bool = False
 
+    # The reference's CurriculumWrapper INTENDS same-seed maze reuse, but
+    # its map generator draws from the unseeded global `random` module, so
+    # in reality every reset produces a fresh map while the curriculum
+    # bookkeeping (thresholds, persistent visit counts) still applies
+    # (SURVEY.md §3.5). False = the documented intent (true maze reuse,
+    # deterministic); True = the reference's ACTUAL training dynamics
+    # (fresh map each reset — easier returns, matches checked-in runs).
+    fresh_map_each_reset: bool = False
+
     @classmethod
     def ppo_dqn(cls) -> "CurriculumConfig":
         return cls()
@@ -139,6 +148,13 @@ class CurriculumConfig:
     def a2c(cls) -> "CurriculumConfig":
         return cls(initial_threshold=40.0, threshold_increment=10.0,
                    max_episodes_per_maze=3, terminate_on_threshold=True)
+
+    @classmethod
+    def reference_actual(cls, **overrides) -> "CurriculumConfig":
+        """Behavior-parity preset: what the reference actually did."""
+        kw = dict(fresh_map_each_reset=True)
+        kw.update(overrides)
+        return cls(**kw)
 
 
 @dataclasses.dataclass(frozen=True)

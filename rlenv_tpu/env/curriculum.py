@@ -126,8 +126,13 @@ class CurriculumVecPlantOS:
 
             split2 = jax.vmap(lambda k: jax.random.split(k, 2))(cstate.key)
             fresh_maze_key, key_next = split2[:, 0], split2[:, 1]
-            maze_key_next = jnp.where(
-                new_maze[:, None], fresh_maze_key, cstate.maze_key)
+            if cfg.fresh_map_each_reset:
+                # reference ACTUAL behavior: new map every reset while the
+                # curriculum bookkeeping still runs (SURVEY.md §3.5)
+                maze_key_next = fresh_maze_key
+            else:
+                maze_key_next = jnp.where(
+                    new_maze[:, None], fresh_maze_key, cstate.maze_key)
 
             reset_states, reset_obs, _ = self._v_reset(maze_key_next)
 

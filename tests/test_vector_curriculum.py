@@ -75,6 +75,28 @@ def test_curriculum_same_maze_until_timeout():
     assert np.array_equal(layouts[2], layouts[3])      # ep4 reuses maze B
 
 
+def test_curriculum_reference_actual_fresh_maps():
+    """fresh_map_each_reset=True: every reset draws a new map (the
+    reference's ACTUAL dynamics, SURVEY.md §3.5), while threshold
+    bookkeeping still operates."""
+    env = PlantOS(EnvConfig(grid_size=9, num_plants=2, num_obstacles=6,
+                            lidar_range=2, lidar_channels=4, max_steps=3))
+    ccfg = CurriculumConfig.reference_actual(initial_threshold=99.0,
+                                             max_episodes_per_maze=50)
+    venv = CurriculumVecPlantOS(env, 2, ccfg)
+    cstate, obs, _ = venv.reset(jax.random.PRNGKey(0))
+    step = jax.jit(venv.step)
+    layouts = [np.asarray(cstate.env.obstacles)]
+    for t in range(9):
+        cstate, obs, rew, term, trunc, info = step(
+            cstate, jnp.full(2, 4, jnp.int32))
+        if bool(jnp.any(info["done"])):
+            layouts.append(np.asarray(cstate.env.obstacles))
+    assert len(layouts) == 4
+    for a, b in zip(layouts, layouts[1:]):
+        assert not np.array_equal(a, b)
+
+
 def test_curriculum_visit_persistence_from_second_episode():
     """Visit counts carry across same-maze resets only from episode 2 on
     (reference behavior, trainingCode.py:80-84)."""
