@@ -136,6 +136,37 @@ def test_trajectory_parity_exploring_policy(seed):
     ref.close()
 
 
+@pytest.mark.parametrize("seed", [11, 12])
+def test_trajectory_parity_on_maze_maps(seed):
+    """Parity on maze-generated layouts (`plantos_env_new.py:408-604`):
+    the reference generates the maze, both envs run it."""
+    random.seed(seed)
+    np.random.seed(seed)
+    ref = RefEnv(grid_size=25, num_plants=10, num_obstacles=12,
+                 lidar_range=6, lidar_channels=16,
+                 map_generation_algo="maze")
+    ref.reset(seed=seed)
+    obstacles, plants, rover = extract_map(ref)
+    cfg = EnvConfig(grid_size=25, num_plants=10, num_obstacles=12,
+                    lidar_range=6, lidar_channels=16)
+    env = PlantOS(cfg)
+    state, obs, _ = env.reset_from_map(jax.random.PRNGKey(seed), obstacles,
+                                       plants, rover)
+    step = jax.jit(env.step)
+    rng = np.random.default_rng(seed)
+    for t in range(250):
+        a = int(rng.integers(5))
+        ref_obs, ref_r, ref_term, ref_trunc, _ = ref.step(a)
+        state, obs, r, term, trunc, _ = step(state, a)
+        np.testing.assert_allclose(np.asarray(obs), ref_obs, atol=1e-6,
+                                   err_msg=f"t={t}")
+        assert float(r) == pytest.approx(float(ref_r), abs=1e-4)
+        assert bool(term) == bool(ref_term) and bool(trunc) == bool(ref_trunc)
+        if bool(term) or bool(trunc):
+            break
+    ref.close()
+
+
 def test_lidar_offset_truncation_parity():
     """The int() truncation geometry (`plantos_env_new.py:287-289`) —
     including rays whose first probe is the rover's own cell — must match
