@@ -49,16 +49,31 @@ def test_train_driver_end_to_end(tmp_path):
 
 
 def test_evaluate(tmp_path):
+    from rlenv_tpu.config import DQNConfig, RecurrentPPOConfig
     from rlenv_tpu.train.trainer import evaluate, make_venv, make_trainer
 
     env_config = EnvConfig(grid_size=7, num_plants=2, num_obstacles=3,
                            lidar_range=2, lidar_channels=4, max_steps=10)
     venv = make_venv(env_config, 10, use_curriculum=False)
+
     trainer = make_trainer("a2c", venv,
                            A2CConfig(hidden_sizes=(16,), n_steps=2))
     state = trainer.init(jax.random.PRNGKey(0))
     mean, std = evaluate(trainer, state, n_eval_episodes=10, max_steps=10)
     assert np.isfinite(mean) and np.isfinite(std)
+
+    dqn = make_trainer("dqn", venv, DQNConfig(hidden_sizes=(16,),
+                                              buffer_size=64))
+    dstate = dqn.init(jax.random.PRNGKey(1))
+    mean, std = evaluate(dqn, dstate, n_eval_episodes=10, max_steps=10)
+    assert np.isfinite(mean)
+
+    ppo = make_trainer("ppo", venv, RecurrentPPOConfig(
+        n_steps=4, batch_size=16, n_epochs=1, lstm_hidden_size=8,
+        hidden_sizes=(8,)))
+    pstate = ppo.init(jax.random.PRNGKey(2))
+    mean, std = evaluate(ppo, pstate, n_eval_episodes=10, max_steps=10)
+    assert np.isfinite(mean)
 
 
 def test_native_maze_pool_distribution():
