@@ -36,7 +36,12 @@ def main() -> None:
     from rlenv_tpu.env.vector import VecPlantOS
 
     env = PlantOS(EnvConfig.training())
-    venv = VecPlantOS(env, NUM_ENVS)
+    if os.environ.get("BENCH_FUSED") == "1":
+        # Fused Pallas step-kernel path (rlenv_tpu/ops/fused_step.py).
+        from rlenv_tpu.env.fused_vector import FusedVecPlantOS
+        venv = FusedVecPlantOS(env, NUM_ENVS)
+    else:
+        venv = VecPlantOS(env, NUM_ENVS)
 
     @jax.jit
     def rollout_chunk(states, key):

@@ -1,0 +1,91 @@
+"""Vectorized auto-resetting env backed by the fused Pallas step kernel.
+
+Drop-in alternative to :class:`rlenv_tpu.env.vector.VecPlantOS` with the
+same ``reset`` / ``step`` API and info dict, but the per-step work runs as
+ONE Pallas TPU program (`rlenv_tpu.ops.fused_step`) over a flat, lane-padded
+state layout. Resets (map generation) stay on the XLA path — they run once
+per episode, not per step — and convert at the pack/unpack boundary.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rlenv_tpu.env.core import PlantOS
+from rlenv_tpu.env.vector import _select
+from rlenv_tpu.ops.fused_step import FlatEnvState, build_fused_step, pack_state
+
+
+class FusedVecPlantOS:
+    """Batch of lockstep PlantOS envs stepped by the fused Pallas kernel."""
+
+    def __init__(self, env: PlantOS, num_envs: int, block_envs: int = 128,
+                 interpret: bool = False):
+        self.env = env
+        self.num_envs = num_envs
+        self._g = env.config.grid_size
+        self._v_reset = jax.vmap(env.reset)
+        self._fused = build_fused_step(env.config, num_envs,
+                                       block_envs=block_envs,
+                                       interpret=interpret)
+
+    @property
+    def obs_dim(self) -> int:
+        return self.env.obs_dim
+
+    @property
+    def num_actions(self) -> int:
+        return self.env.num_actions
+
+    def reset(self, key: jax.Array) -> Tuple[FlatEnvState, jnp.ndarray, Dict]:
+        keys = jax.random.split(key, self.num_envs)
+        states, obs, info = self._v_reset(keys)
+        return pack_state(states, self._g), obs, info
+
+    def _info(self, scal: jnp.ndarray, is_watering: jnp.ndarray
+              ) -> Dict[str, jnp.ndarray]:
+        cfg = self.env.config
+        total = scal[:, 6]
+        thirsty = scal[:, 5]
+        return {
+            "rover_position": scal[:, 0:2],
+            "thirsty_plants": thirsty,
+            "hydrated_plants": total - thirsty,
+            "total_plants": total,
+            "step_count": scal[:, 2],
+            "explored_cells": scal[:, 3],
+            "total_cells": scal[:, 4],
+            "exploration_percentage":
+                100.0 * scal[:, 3].astype(jnp.float32)
+                / scal[:, 4].astype(jnp.float32),
+            "lidar_range": jnp.int32(cfg.lidar_range),
+            "lidar_channels": jnp.int32(cfg.lidar_channels),
+            "collided_with_wall": scal[:, 8].astype(bool),
+            "total_collisions": scal[:, 9],
+            "is_watering": is_watering,
+        }
+
+    def step(self, flat: FlatEnvState, actions: jnp.ndarray
+             ) -> Tuple[FlatEnvState, jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                        jnp.ndarray, Dict]:
+        flat, obs, rewards, term, trunc, is_watering = self._fused(
+            flat, actions)
+        done = term | trunc
+        info = self._info(flat.scal, is_watering)
+
+        def do_resets(args):
+            flat, obs = args
+            reset_states, reset_obs, _ = self._v_reset(flat.key)
+            reset_flat = pack_state(reset_states, self._g)
+            return (_select(done, reset_flat, flat),
+                    jnp.where(done[:, None], reset_obs, obs))
+
+        new_flat, new_obs = jax.lax.cond(
+            jnp.any(done), do_resets, lambda args: args, (flat, obs))
+
+        info["final_obs"] = obs
+        info["done"] = done
+        return new_flat, new_obs, rewards, term, trunc, info

@@ -1,0 +1,44 @@
+"""Round-1 flagship RecurrentPPO run: 3M steps, 64 envs, curriculum.
+
+Mirrors the reference's `train_with_recurrent_ppo`
+(/root/reference/trainingCode.py:116-198): MlpLstmPolicy with
+lstm_hidden=2562, net_arch [128,128], curriculum wrapper, PPO reward set.
+TPU-worker-stable recipe (see .claude/skills/verify/SKILL.md):
+n_steps=256 (not 1024 — the tunnel's worker crashes on 1024-step BPTT of
+the 2562-wide LSTM), iterations_per_chunk=1.
+"""
+
+from rlenv_tpu.config import (CurriculumConfig, EnvConfig,
+                              RecurrentPPOConfig, RewardConfig)
+from rlenv_tpu.train.trainer import train
+
+if __name__ == "__main__":
+    import time
+    import traceback
+
+    env_config = EnvConfig.training(rewards=RewardConfig.recurrent_ppo())
+    # The tunnel's TPU worker occasionally crashes under this program
+    # (biggest LSTM in the suite); retry from the latest Orbax checkpoint.
+    for attempt in range(8):
+        try:
+            state, result = train(
+                algo="ppo",
+                total_timesteps=3_000_000,
+                n_envs=64,
+                use_curriculum=True,
+                env_config=env_config,
+                algo_config=RecurrentPPOConfig(n_steps=256),
+                curriculum_config=CurriculumConfig.ppo_dqn(),
+                log_dir="runs/ppo_tpu_3m",
+                seed=0,
+                iterations_per_chunk=1,
+                checkpoint_interval=100_000,
+                resume=True,
+            )
+            print("DONE", result)
+            break
+        except Exception:
+            traceback.print_exc()
+            print(f"[retry] attempt {attempt} failed; sleeping 300 s "
+                  "for the worker to recover", flush=True)
+            time.sleep(300)
