@@ -62,6 +62,10 @@ def main(argv=None) -> None:
     t.add_argument("--log-dir", type=str, default=None)
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--resume", action="store_true")
+    t.add_argument("--fused", action="store_true",
+                   help="Step envs with the fused Pallas kernel "
+                        "(rlenv_tpu/ops/fused_step.py); TPU only, "
+                        "incompatible with --curriculum")
     _add_env_args(t)
 
     e = sub.add_parser("test", help="Run a trained model with rendering")
@@ -91,7 +95,7 @@ def main(argv=None) -> None:
               env_config=_env_config(args),
               curriculum_config=curriculum,
               log_dir=args.log_dir or f"logs/{args.algo}",
-              seed=args.seed, resume=args.resume)
+              seed=args.seed, resume=args.resume, fused=args.fused)
     elif args.command == "test":
         from rlenv_tpu.apps.example_usage import main as run_test
         run_test(model_path=args.model_path, model_type=args.model_type,

@@ -23,7 +23,14 @@ class FusedVecPlantOS:
     """Batch of lockstep PlantOS envs stepped by the fused Pallas kernel."""
 
     def __init__(self, env: PlantOS, num_envs: int, block_envs: int = 128,
-                 interpret: bool = False):
+                 interpret: bool | None = None):
+        if interpret is None:
+            # Mosaic only lowers on TPU; fall back to the Pallas
+            # interpreter elsewhere (CPU tests) for identical semantics.
+            # (TPU platforms can carry other names, e.g. the axon tunnel.)
+            dev = jax.devices()[0]
+            interpret = not ("tpu" in dev.platform.lower()
+                             or "tpu" in dev.device_kind.lower())
         self.env = env
         self.num_envs = num_envs
         self._g = env.config.grid_size

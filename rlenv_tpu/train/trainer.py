@@ -36,13 +36,25 @@ from rlenv_tpu.train.plotting import plot_learning_curve
 
 
 def make_venv(env_config: EnvConfig, n_envs: int, use_curriculum: bool,
-              curriculum: Optional[CurriculumConfig] = None):
+              curriculum: Optional[CurriculumConfig] = None,
+              fused: bool = False):
     """Env factory mirroring ``make_env_wrapper`` composition
-    (`trainingCode.py:103-111`): raw env -> (curriculum) -> vectorized."""
+    (`trainingCode.py:103-111`): raw env -> (curriculum) -> vectorized.
+
+    ``fused=True`` steps the batch with the single-program Pallas kernel
+    (`rlenv_tpu.ops.fused_step`) instead of the multi-kernel XLA path;
+    bit-identical outputs, TPU only (no curriculum support yet)."""
     env = PlantOS(env_config)
     if use_curriculum:
+        if fused:
+            raise NotImplementedError(
+                "fused Pallas stepping does not support the curriculum "
+                "wrapper yet; drop --fused or --curriculum")
         return CurriculumVecPlantOS(env, n_envs,
                                     curriculum or CurriculumConfig())
+    if fused:
+        from rlenv_tpu.env.fused_vector import FusedVecPlantOS
+        return FusedVecPlantOS(env, n_envs)
     return VecPlantOS(env, n_envs)
 
 
@@ -85,6 +97,7 @@ def train(algo: str = "a2c",
           total_timesteps: int = 100_000,
           n_envs: int = 64,
           use_curriculum: bool = False,
+          fused: bool = False,
           env_config: Optional[EnvConfig] = None,
           algo_config=None,
           curriculum_config: Optional[CurriculumConfig] = None,
@@ -102,7 +115,8 @@ def train(algo: str = "a2c",
     models_dir = models_dir or os.path.join(log_dir, "models")
     os.makedirs(models_dir, exist_ok=True)
 
-    venv = make_venv(env_config, n_envs, use_curriculum, curriculum_config)
+    venv = make_venv(env_config, n_envs, use_curriculum, curriculum_config,
+                     fused=fused)
     trainer = make_trainer(algo, venv, algo_config, total_timesteps)
 
     state = trainer.init(jax.random.PRNGKey(seed))

@@ -13,32 +13,23 @@ from rlenv_tpu.config import (CurriculumConfig, EnvConfig,
 from rlenv_tpu.train.trainer import train
 
 if __name__ == "__main__":
-    import time
-    import traceback
-
+    # NOTE: a TPU-worker crash poisons the whole PJRT client, so retries
+    # must come from a FRESH process — see scripts/run_ppo_3m.sh, which
+    # loops this script until it prints DONE. ``resume=True`` continues
+    # from the latest Orbax checkpoint.
     env_config = EnvConfig.training(rewards=RewardConfig.recurrent_ppo())
-    # The tunnel's TPU worker occasionally crashes under this program
-    # (biggest LSTM in the suite); retry from the latest Orbax checkpoint.
-    for attempt in range(8):
-        try:
-            state, result = train(
-                algo="ppo",
-                total_timesteps=3_000_000,
-                n_envs=64,
-                use_curriculum=True,
-                env_config=env_config,
-                algo_config=RecurrentPPOConfig(n_steps=256),
-                curriculum_config=CurriculumConfig.ppo_dqn(),
-                log_dir="runs/ppo_tpu_3m",
-                seed=0,
-                iterations_per_chunk=1,
-                checkpoint_interval=100_000,
-                resume=True,
-            )
-            print("DONE", result)
-            break
-        except Exception:
-            traceback.print_exc()
-            print(f"[retry] attempt {attempt} failed; sleeping 300 s "
-                  "for the worker to recover", flush=True)
-            time.sleep(300)
+    state, result = train(
+        algo="ppo",
+        total_timesteps=3_000_000,
+        n_envs=64,
+        use_curriculum=True,
+        env_config=env_config,
+        algo_config=RecurrentPPOConfig(n_steps=256),
+        curriculum_config=CurriculumConfig.ppo_dqn(),
+        log_dir="runs/ppo_tpu_3m",
+        seed=0,
+        iterations_per_chunk=1,
+        checkpoint_interval=100_000,
+        resume=True,
+    )
+    print("DONE", result)

@@ -93,3 +93,22 @@ def test_fused_watering_parity(envs):
         ref_states, _, ref_r, *_ = venv.step(ref_states, water)
         flat, _, f_r, *_ = fenv.step(flat, water)
         np.testing.assert_array_equal(np.asarray(ref_r), np.asarray(f_r))
+
+
+def test_train_a2c_fused(tmp_path):
+    """A2C trains end-to-end on the fused-kernel env (interpret mode)."""
+    from rlenv_tpu.train.trainer import train
+
+    _, result = train(algo="a2c", total_timesteps=160, n_envs=16,
+                      use_curriculum=False, fused=True,
+                      env_config=EnvConfig.training(max_steps=40),
+                      log_dir=str(tmp_path), iterations_per_chunk=2,
+                      plot=False, verbose=False)
+    assert result.timesteps >= 160
+
+
+def test_fused_curriculum_rejected():
+    from rlenv_tpu.train.trainer import make_venv
+
+    with pytest.raises(NotImplementedError):
+        make_venv(EnvConfig.training(), 16, use_curriculum=True, fused=True)
