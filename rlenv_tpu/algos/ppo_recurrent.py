@@ -134,8 +134,29 @@ class RecurrentPPOTrainer:
             step, init_carry, (obs_seq, episode_start_seq))
         return logits, values
 
-    def _update(self, state: RecurrentPPOState, traj: Dict[str, jnp.ndarray],
-                init_carry) -> Tuple[RecurrentPPOState, Dict]:
+    def compute_targets(self, state: RecurrentPPOState,
+                        traj: Dict[str, jnp.ndarray]
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """GAE advantages/returns from the ROLLOUT-time values (must be
+        computed once, before any epoch mutates the params)."""
+        cfg = self.config
+        _, last_value, _ = self.model.apply(
+            state.params, state.obs, state.carry, state.episode_start)
+        return gae(traj["reward"], traj["value"], traj["done"], last_value,
+                   cfg.gamma, cfg.gae_lambda)
+
+    def update_epochs(self, state: RecurrentPPOState,
+                      traj: Dict[str, jnp.ndarray], init_carry,
+                      advantages: jnp.ndarray, returns: jnp.ndarray,
+                      n_epochs: int) -> Tuple[RecurrentPPOState, Dict]:
+        """Run ``n_epochs`` PPO epochs over the rollout.
+
+        Exposed separately from :meth:`train_iteration` so the host can
+        drive rollout / target / epoch phases as SEPARATE device programs
+        (``train(..., program_split=...)``) — the monolithic fused program
+        (256-step BPTT of the 2562-wide LSTM × 10 epochs in one XLA
+        program) is too large for some TPU runtimes.
+        """
         cfg = self.config
         B = state.obs.shape[0]
         # sequences per minibatch: batch_size samples / n_steps-long
@@ -145,13 +166,6 @@ class RecurrentPPOTrainer:
         while B % seqs_per_mb != 0:
             seqs_per_mb -= 1
         n_minibatches = B // seqs_per_mb
-
-        # bootstrap value for GAE
-        _, last_value, _ = self.model.apply(
-            state.params, state.obs, state.carry, state.episode_start)
-        advantages, returns = gae(traj["reward"], traj["value"],
-                                  traj["done"], last_value,
-                                  cfg.gamma, cfg.gae_lambda)
 
         def loss_fn(params, mb):
             logits, values = self._sequence_forward(
@@ -199,16 +213,27 @@ class RecurrentPPOTrainer:
 
         (params, opt_state, key), metrics = jax.lax.scan(
             epoch, (state.params, state.opt_state, state.key), None,
-            length=cfg.n_epochs)
+            length=n_epochs)
         metrics = jax.tree.map(lambda x: x.mean(), metrics)
         return dataclasses.replace(state, params=params,
                                    opt_state=opt_state, key=key), metrics
 
-    def train_iteration(self, state: RecurrentPPOState
-                        ) -> Tuple[RecurrentPPOState, Dict]:
+    def _update(self, state: RecurrentPPOState, traj: Dict[str, jnp.ndarray],
+                init_carry) -> Tuple[RecurrentPPOState, Dict]:
+        advantages, returns = self.compute_targets(state, traj)
+        return self.update_epochs(state, traj, init_carry, advantages,
+                                  returns, self.config.n_epochs)
+
+    def rollout(self, state: RecurrentPPOState):
+        """Collect one n_steps rollout; returns (state, traj, init_carry)."""
         init_carry = state.carry
         state, traj = jax.lax.scan(self._rollout_step, state, None,
                                    length=self.config.n_steps)
+        return state, traj, init_carry
+
+    def train_iteration(self, state: RecurrentPPOState
+                        ) -> Tuple[RecurrentPPOState, Dict]:
+        state, traj, init_carry = self.rollout(state)
         return self._update(state, traj, init_carry)
 
     def train_chunk(self, state: RecurrentPPOState, num_iterations: int

@@ -64,8 +64,7 @@ def main(argv=None) -> None:
     t.add_argument("--resume", action="store_true")
     t.add_argument("--fused", action="store_true",
                    help="Step envs with the fused Pallas kernel "
-                        "(rlenv_tpu/ops/fused_step.py); TPU only, "
-                        "incompatible with --curriculum")
+                        "(rlenv_tpu/ops/fused_step.py)")
     _add_env_args(t)
 
     e = sub.add_parser("test", help="Run a trained model with rendering")

@@ -65,6 +65,27 @@ class CurriculumVecPlantOS:
         self._v_reset = jax.vmap(env.reset)
         self._v_step = jax.vmap(env.step)
 
+    # -- state-layout hooks (overridden by the fused-kernel subclass) -----
+
+    def _env_reset_batch(self, keys):
+        return self._v_reset(keys)
+
+    def _env_step_batch(self, env_states, actions):
+        return self._v_step(env_states, actions)
+
+    def _visits(self, env_states) -> jnp.ndarray:
+        return env_states.visit_counts
+
+    def _replace_visits(self, env_states, visits):
+        return env_states.replace(visit_counts=visits)
+
+    @staticmethod
+    def _b(mask: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        """Broadcast a [B] mask against x's trailing dims."""
+        return mask.reshape(mask.shape + (1,) * (x.ndim - 1))
+
+    # ---------------------------------------------------------------------
+
     @property
     def obs_dim(self) -> int:
         return self.env.obs_dim
@@ -74,11 +95,10 @@ class CurriculumVecPlantOS:
         return self.env.num_actions
 
     def reset(self, key: jax.Array) -> Tuple[CurriculumState, jnp.ndarray, Dict]:
-        g = self.env.config.grid_size
         B = self.num_envs
         k_maze, k_self = jax.random.split(key)
         maze_keys = jax.random.split(k_maze, B)
-        env_states, obs, info = self._v_reset(maze_keys)
+        env_states, obs, info = self._env_reset_batch(maze_keys)
         cstate = CurriculumState(
             env=env_states,
             maze_key=maze_keys,
@@ -86,7 +106,7 @@ class CurriculumVecPlantOS:
             threshold=jnp.full((B,), self.config.initial_threshold, jnp.float32),
             episodes_on_maze=jnp.ones((B,), jnp.int32),  # first episode running
             maze_completed=jnp.zeros((B,), bool),
-            persistent_visits=jnp.zeros((B, g, g), jnp.int32),
+            persistent_visits=jnp.zeros_like(self._visits(env_states)),
             persistent_set=jnp.zeros((B,), bool),
             episode_count=jnp.ones((B,), jnp.int32),
             successful_explorations=jnp.zeros((B,), jnp.int32),
@@ -97,7 +117,7 @@ class CurriculumVecPlantOS:
              ) -> Tuple[CurriculumState, jnp.ndarray, jnp.ndarray,
                         jnp.ndarray, jnp.ndarray, Dict]:
         cfg = self.config
-        env_states, obs, rewards, term, trunc, info = self._v_step(
+        env_states, obs, rewards, term, trunc, info = self._env_step_batch(
             cstate.env, actions)
 
         expl = info["exploration_percentage"]
@@ -108,9 +128,9 @@ class CurriculumVecPlantOS:
         done = term | trunc
 
         # Mid-episode persistent tracking (`trainingCode.py:95-97`).
-        persistent = jnp.where(
-            cstate.persistent_set[:, None, None],
-            env_states.visit_counts, cstate.persistent_visits)
+        visits_now = self._visits(env_states)
+        persistent = jnp.where(self._b(cstate.persistent_set, visits_now),
+                               visits_now, cstate.persistent_visits)
 
         def do_resets(args):
             env_states, obs, persistent = args
@@ -134,20 +154,21 @@ class CurriculumVecPlantOS:
                 maze_key_next = jnp.where(
                     new_maze[:, None], fresh_maze_key, cstate.maze_key)
 
-            reset_states, reset_obs, _ = self._v_reset(maze_key_next)
+            reset_states, reset_obs, _ = self._env_reset_batch(maze_key_next)
 
             # Same-maze: restore persistent counts if tracking engaged,
             # else snapshot the fresh (post-reset) counter — which is how
             # the reference only starts carrying from episode 2.
             restore = (~new_maze) & cstate.persistent_set
+            reset_visits = self._visits(reset_states)
             visit_counts = jnp.where(
-                restore[:, None, None], persistent, reset_states.visit_counts)
-            reset_states = reset_states.replace(visit_counts=visit_counts)
+                self._b(restore, persistent), persistent, reset_visits)
+            reset_states = self._replace_visits(reset_states, visit_counts)
             persistent_next = jnp.where(
-                new_maze[:, None, None],
+                self._b(new_maze, persistent),
                 jnp.zeros_like(persistent),
-                jnp.where((~cstate.persistent_set)[:, None, None],
-                          reset_states.visit_counts, persistent))
+                jnp.where(self._b(~cstate.persistent_set, persistent),
+                          self._visits(reset_states), persistent))
 
             new_cstate = CurriculumState(
                 env=_select(done, reset_states, env_states),
@@ -160,7 +181,7 @@ class CurriculumVecPlantOS:
                     cstate.episodes_on_maze),
                 maze_completed=jnp.where(done, False, maze_completed),
                 persistent_visits=jnp.where(
-                    done[:, None, None], persistent_next, persistent),
+                    self._b(done, persistent), persistent_next, persistent),
                 persistent_set=jnp.where(
                     done, jnp.where(new_maze, False, True),
                     cstate.persistent_set),

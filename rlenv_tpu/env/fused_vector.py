@@ -14,9 +14,35 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
+from rlenv_tpu.config import CurriculumConfig
 from rlenv_tpu.env.core import PlantOS
+from rlenv_tpu.env.curriculum import CurriculumVecPlantOS
 from rlenv_tpu.env.vector import _select
 from rlenv_tpu.ops.fused_step import FlatEnvState, build_fused_step, pack_state
+
+
+def _fused_info(cfg, scal: jnp.ndarray, is_watering: jnp.ndarray
+                ) -> Dict[str, jnp.ndarray]:
+    """Info dict matching ``PlantOS.get_info`` from the kernel's scalars."""
+    total = scal[:, 6]
+    thirsty = scal[:, 5]
+    return {
+        "rover_position": scal[:, 0:2],
+        "thirsty_plants": thirsty,
+        "hydrated_plants": total - thirsty,
+        "total_plants": total,
+        "step_count": scal[:, 2],
+        "explored_cells": scal[:, 3],
+        "total_cells": scal[:, 4],
+        "exploration_percentage":
+            100.0 * scal[:, 3].astype(jnp.float32)
+            / scal[:, 4].astype(jnp.float32),
+        "lidar_range": jnp.int32(cfg.lidar_range),
+        "lidar_channels": jnp.int32(cfg.lidar_channels),
+        "collided_with_wall": scal[:, 8].astype(bool),
+        "total_collisions": scal[:, 9],
+        "is_watering": is_watering,
+    }
 
 
 class FusedVecPlantOS:
@@ -52,36 +78,13 @@ class FusedVecPlantOS:
         states, obs, info = self._v_reset(keys)
         return pack_state(states, self._g), obs, info
 
-    def _info(self, scal: jnp.ndarray, is_watering: jnp.ndarray
-              ) -> Dict[str, jnp.ndarray]:
-        cfg = self.env.config
-        total = scal[:, 6]
-        thirsty = scal[:, 5]
-        return {
-            "rover_position": scal[:, 0:2],
-            "thirsty_plants": thirsty,
-            "hydrated_plants": total - thirsty,
-            "total_plants": total,
-            "step_count": scal[:, 2],
-            "explored_cells": scal[:, 3],
-            "total_cells": scal[:, 4],
-            "exploration_percentage":
-                100.0 * scal[:, 3].astype(jnp.float32)
-                / scal[:, 4].astype(jnp.float32),
-            "lidar_range": jnp.int32(cfg.lidar_range),
-            "lidar_channels": jnp.int32(cfg.lidar_channels),
-            "collided_with_wall": scal[:, 8].astype(bool),
-            "total_collisions": scal[:, 9],
-            "is_watering": is_watering,
-        }
-
     def step(self, flat: FlatEnvState, actions: jnp.ndarray
              ) -> Tuple[FlatEnvState, jnp.ndarray, jnp.ndarray, jnp.ndarray,
                         jnp.ndarray, Dict]:
         flat, obs, rewards, term, trunc, is_watering = self._fused(
             flat, actions)
         done = term | trunc
-        info = self._info(flat.scal, is_watering)
+        info = _fused_info(self.env.config, flat.scal, is_watering)
 
         def do_resets(args):
             flat, obs = args
@@ -96,3 +99,42 @@ class FusedVecPlantOS:
         info["final_obs"] = obs
         info["done"] = done
         return new_flat, new_obs, rewards, term, trunc, info
+
+
+class FusedCurriculumVecPlantOS(CurriculumVecPlantOS):
+    """Curriculum wrapper whose inner env steps via the fused Pallas kernel.
+
+    Reuses the whole curriculum state machine from
+    :class:`CurriculumVecPlantOS`; only the state layout changes
+    (flat, lane-padded grids) and the per-step work runs as one Pallas
+    program.
+    """
+
+    def __init__(self, env: PlantOS, num_envs: int,
+                 config: CurriculumConfig = CurriculumConfig(),
+                 block_envs: int = 128, interpret: bool | None = None):
+        super().__init__(env, num_envs, config)
+        if interpret is None:
+            dev = jax.devices()[0]
+            interpret = not ("tpu" in dev.platform.lower()
+                             or "tpu" in dev.device_kind.lower())
+        self._g = env.config.grid_size
+        self._fused = build_fused_step(env.config, num_envs,
+                                       block_envs=block_envs,
+                                       interpret=interpret)
+
+    def _env_reset_batch(self, keys):
+        states, obs, info = self._v_reset(keys)
+        return pack_state(states, self._g), obs, info
+
+    def _env_step_batch(self, flat: FlatEnvState, actions: jnp.ndarray):
+        flat, obs, rewards, term, trunc, is_watering = self._fused(
+            flat, actions)
+        info = _fused_info(self.env.config, flat.scal, is_watering)
+        return flat, obs, rewards, term, trunc, info
+
+    def _visits(self, flat: FlatEnvState) -> jnp.ndarray:
+        return flat.visits
+
+    def _replace_visits(self, flat: FlatEnvState, visits):
+        return flat.replace(visits=visits)

@@ -47,9 +47,9 @@ def make_venv(env_config: EnvConfig, n_envs: int, use_curriculum: bool,
     env = PlantOS(env_config)
     if use_curriculum:
         if fused:
-            raise NotImplementedError(
-                "fused Pallas stepping does not support the curriculum "
-                "wrapper yet; drop --fused or --curriculum")
+            from rlenv_tpu.env.fused_vector import FusedCurriculumVecPlantOS
+            return FusedCurriculumVecPlantOS(
+                env, n_envs, curriculum or CurriculumConfig())
         return CurriculumVecPlantOS(env, n_envs,
                                     curriculum or CurriculumConfig())
     if fused:
@@ -107,6 +107,7 @@ def train(algo: str = "a2c",
           checkpoint_interval: Optional[int] = None,
           eval_freq: int = 10_000,
           iterations_per_chunk: int = 64,
+          program_split: int = 0,
           resume: bool = False,
           plot: bool = True,
           verbose: bool = True) -> Tuple[Any, TrainResult]:
@@ -131,8 +132,37 @@ def train(algo: str = "a2c",
     tb = TensorBoardWriter(os.path.join(log_dir, "tensorboard"))
 
     steps_per_iter = _steps_per_iteration(trainer, n_envs)
-    chunk_fn = jax.jit(
-        lambda s: trainer.train_chunk(s, iterations_per_chunk))
+    if program_split and hasattr(trainer, "rollout"):
+        # Drive rollout / GAE targets / update epochs as SEPARATE device
+        # programs (1 = rollout+update split, 2 = additionally one program
+        # per epoch). Needed where one fused XLA program per iteration is
+        # too large for the TPU runtime (e.g. 256-step BPTT of the
+        # 2562-wide LSTM x 10 epochs).
+        rollout_fn = jax.jit(trainer.rollout)
+        targets_fn = jax.jit(trainer.compute_targets)
+        n_epochs = trainer.config.n_epochs
+        epochs_per_call = 1 if program_split >= 2 else n_epochs
+        update_fn = jax.jit(
+            lambda s, tr, c0, adv, ret: trainer.update_epochs(
+                s, tr, c0, adv, ret, epochs_per_call))
+
+        def run_chunk(state):
+            all_metrics = []
+            for _ in range(iterations_per_chunk):
+                state, traj, c0 = rollout_fn(state)
+                adv, ret = targets_fn(state, traj)
+                for _ in range(n_epochs // epochs_per_call):
+                    state, m = update_fn(state, traj, c0, adv, ret)
+                    all_metrics.append(m)
+            metrics = jax.tree.map(
+                lambda *xs: sum(xs) / len(xs), *all_metrics)
+            return state, metrics
+    else:
+        chunk_fn = jax.jit(
+            lambda s: trainer.train_chunk(s, iterations_per_chunk))
+
+        def run_chunk(state):
+            return chunk_fn(state)
     # SB3-style checkpoint cadence: every ~total/10 steps by default
     # (`A2C_training.py:250-254`).
     checkpoint_interval = checkpoint_interval or max(
@@ -143,7 +173,7 @@ def train(algo: str = "a2c",
     start_steps = int(state.stats.timesteps)
     try:
         while int(state.stats.timesteps) < total_timesteps:
-            state, metrics = chunk_fn(state)
+            state, metrics = run_chunk(state)
             timesteps = int(state.stats.timesteps)
             summary = monitor.drain(state.stats)
             train_log.maybe_log(timesteps, state.stats)

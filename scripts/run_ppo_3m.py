@@ -29,6 +29,9 @@ if __name__ == "__main__":
         log_dir="runs/ppo_tpu_3m",
         seed=0,
         iterations_per_chunk=1,
+        # One device program per rollout / GAE / epoch: the monolithic
+        # iteration program crashes the tunnel's TPU worker.
+        program_split=2,
         checkpoint_interval=100_000,
         resume=True,
     )

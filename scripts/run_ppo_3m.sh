@@ -14,7 +14,7 @@ for attempt in $(seq 1 12); do
     exit 0
   fi
   echo "[run_ppo_3m.sh] attempt $attempt exited $status; sleeping 300s" | tee -a "$LOG"
-  sleep 300
+  sleep 420
 done
 echo "[run_ppo_3m.sh] giving up after 12 attempts" | tee -a "$LOG"
 exit 1

@@ -250,3 +250,33 @@ def test_mcts_ucb_selection():
     tree["children"] = tree["children"].at[0, 0].set(3)
     child, action = planner._ucb_child(tree, jnp.int32(0))
     assert int(child) == 3 and int(action) == 0
+
+
+def test_ppo_program_split_equivalence(tmp_path):
+    """program_split drives rollout/targets/epochs as separate device
+    programs; results must be bit-identical to the monolithic program."""
+    import numpy as np
+    from rlenv_tpu.config import EnvConfig, RecurrentPPOConfig
+    from rlenv_tpu.train.trainer import train
+
+    kw = dict(algo="ppo", total_timesteps=128, n_envs=8,
+              env_config=EnvConfig(grid_size=9, num_plants=2,
+                                   num_obstacles=3, lidar_range=2,
+                                   lidar_channels=4, max_steps=30),
+              algo_config=RecurrentPPOConfig(
+                  n_steps=8, batch_size=16, n_epochs=2,
+                  lstm_hidden_size=16, hidden_sizes=(16,)),
+              seed=3, iterations_per_chunk=1, plot=False, verbose=False)
+    _, r_mono = train(log_dir=str(tmp_path / "mono"), **kw)
+    _, r_split = train(log_dir=str(tmp_path / "split"), program_split=2,
+                       **kw)
+    state_mono, _ = train(log_dir=str(tmp_path / "mono2"), **kw)
+
+    assert r_split.timesteps == r_mono.timesteps
+    # bit-identical training trajectory
+    import jax
+    s_split, _ = train(log_dir=str(tmp_path / "split2"), program_split=2,
+                       **kw)
+    for a, b in zip(jax.tree.leaves(state_mono.params),
+                    jax.tree.leaves(s_split.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -95,20 +95,104 @@ def test_fused_watering_parity(envs):
         np.testing.assert_array_equal(np.asarray(ref_r), np.asarray(f_r))
 
 
-def test_train_a2c_fused(tmp_path):
-    """A2C trains end-to-end on the fused-kernel env (interpret mode)."""
+@pytest.mark.parametrize("use_curriculum", [False, True])
+def test_train_a2c_fused(tmp_path, use_curriculum):
+    """A2C trains end-to-end on the fused-kernel env (interpret mode),
+    with and without the curriculum wrapper."""
     from rlenv_tpu.train.trainer import train
 
     _, result = train(algo="a2c", total_timesteps=160, n_envs=16,
-                      use_curriculum=False, fused=True,
+                      use_curriculum=use_curriculum, fused=True,
                       env_config=EnvConfig.training(max_steps=40),
                       log_dir=str(tmp_path), iterations_per_chunk=2,
                       plot=False, verbose=False)
     assert result.timesteps >= 160
 
 
-def test_fused_curriculum_rejected():
-    from rlenv_tpu.train.trainer import make_venv
+def test_fused_curriculum_parity():
+    """FusedCurriculumVecPlantOS == CurriculumVecPlantOS, bit-exact,
+    across threshold updates, maze reuse and persistent visit carry."""
+    from rlenv_tpu.config import CurriculumConfig
+    from rlenv_tpu.env.curriculum import CurriculumVecPlantOS
+    from rlenv_tpu.env.fused_vector import FusedCurriculumVecPlantOS
 
-    with pytest.raises(NotImplementedError):
-        make_venv(EnvConfig.training(), 16, use_curriculum=True, fused=True)
+    config = EnvConfig.training(max_steps=30)
+    ccfg = CurriculumConfig.ppo_dqn()
+    env = PlantOS(config)
+    ref = CurriculumVecPlantOS(env, N_ENVS, ccfg)
+    fus = FusedCurriculumVecPlantOS(env, N_ENVS, ccfg, interpret=True)
+
+    key = jax.random.PRNGKey(5)
+    ref_c, ref_obs, _ = ref.reset(key)
+    fus_c, fus_obs, _ = fus.reset(key)
+    np.testing.assert_array_equal(np.asarray(ref_obs), np.asarray(fus_obs))
+
+    ref_step = jax.jit(ref.step)
+    rng = np.random.default_rng(11)
+    for t in range(70):  # two+ episodes: exercises curriculum resets
+        actions = jnp.asarray(rng.integers(0, 5, size=N_ENVS), jnp.int32)
+        ref_c, ref_obs, ref_r, ref_te, ref_tr, ref_i = ref_step(ref_c, actions)
+        fus_c, fus_obs, f_r, f_te, f_tr, f_i = fus.step(fus_c, actions)
+        np.testing.assert_array_equal(
+            np.asarray(ref_obs), np.asarray(fus_obs), err_msg=f"obs t={t}")
+        np.testing.assert_array_equal(np.asarray(ref_r), np.asarray(f_r))
+        np.testing.assert_array_equal(np.asarray(ref_te), np.asarray(f_te))
+        for k in ("exploration_threshold", "maze_completed", "done",
+                  "exploration_percentage"):
+            np.testing.assert_array_equal(
+                np.asarray(ref_i[k]), np.asarray(f_i[k]),
+                err_msg=f"info[{k}] t={t}")
+        np.testing.assert_array_equal(
+            np.asarray(ref_c.persistent_visits.reshape(N_ENVS, -1)),
+            np.asarray(fus_c.persistent_visits[:, :config.grid_size ** 2]),
+            err_msg=f"persistent_visits t={t}")
+        np.testing.assert_array_equal(
+            np.asarray(ref_c.threshold), np.asarray(fus_c.threshold))
+        np.testing.assert_array_equal(
+            np.asarray(ref_c.episodes_on_maze),
+            np.asarray(fus_c.episodes_on_maze))
+
+
+def test_fused_step_under_shard_map():
+    """The fused kernel composes with shard_map over the 'data' mesh axis
+    (multi-chip env sharding): per-device blocks produce the same results
+    as the single-device kernel."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from rlenv_tpu.env.fused_vector import FusedVecPlantOS
+    from rlenv_tpu.ops.fused_step import build_fused_step
+    from rlenv_tpu.parallel.mesh import make_mesh
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    config = EnvConfig.training(max_steps=40)
+    env = PlantOS(config)
+    B = n_dev * 4
+    mesh = make_mesh(n_dev, model_parallel=1)
+
+    fenv = FusedVecPlantOS(env, B, interpret=True)
+    flat, obs0, _ = fenv.reset(jax.random.PRNGKey(0))
+    local_step = build_fused_step(config, B // n_dev, interpret=True)
+
+    dp = lambda tree: jax.tree.map(lambda _: P("data"), tree)
+    actions = jnp.asarray(
+        np.random.default_rng(0).integers(0, 5, size=B), jnp.int32)
+    sharded = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(dp(flat), P("data")),
+        out_specs=(dp(flat), P("data"), P("data"), P("data"), P("data"),
+                   P("data")),
+        check_rep=False)
+    s_flat, s_obs, s_rew, s_te, s_tr, _ = jax.jit(sharded)(flat, actions)
+    r_flat, r_obs, r_rew, r_te, r_tr, _ = fenv._fused(flat, actions)
+
+    np.testing.assert_array_equal(np.asarray(r_obs), np.asarray(s_obs))
+    np.testing.assert_array_equal(np.asarray(r_rew), np.asarray(s_rew))
+    np.testing.assert_array_equal(np.asarray(r_flat.visits),
+                                  np.asarray(s_flat.visits))
+    np.testing.assert_array_equal(np.asarray(r_flat.scal),
+                                  np.asarray(s_flat.scal))
