@@ -24,7 +24,14 @@ if __name__ == "__main__":
         n_envs=64,
         use_curriculum=True,
         env_config=env_config,
-        algo_config=RecurrentPPOConfig(n_steps=256),
+        # batch_size 4096 samples = 16 whole 256-step sequences per
+        # minibatch (4 minibatches/epoch). Whole-sequence minibatching is
+        # this framework's documented divergence from SB3's padded
+        # sub-sequences; tiny minibatches are weight-streaming-bound on
+        # TPU (each BPTT step reads the 2x ~110MB LSTM weights from HBM
+        # regardless of batch size), so 1-sequence minibatches ran 16x
+        # slower for the same arithmetic.
+        algo_config=RecurrentPPOConfig(n_steps=256, batch_size=4096),
         curriculum_config=CurriculumConfig.ppo_dqn(),
         log_dir="runs/ppo_tpu_3m",
         seed=0,
