@@ -155,7 +155,8 @@ class PlantOSGymEnv(_BASE):
 
 if gym is not None:  # registration parity (`plantos_env_new.py:774-777`)
     try:
-        gym.register(id="PlantOS-v0",
-                     entry_point="rlenv_tpu.env.gym_compat:PlantOSGymEnv")
-    except Exception:  # already registered
+        if "PlantOS-v0" not in gym.registry:
+            gym.register(id="PlantOS-v0",
+                         entry_point="rlenv_tpu.env.gym_compat:PlantOSGymEnv")
+    except Exception:  # registry API unavailable
         pass

@@ -160,7 +160,8 @@ def test_fused_step_under_shard_map():
     from functools import partial
 
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+
+    shard_map = jax.shard_map
 
     from rlenv_tpu.env.fused_vector import FusedVecPlantOS
     from rlenv_tpu.ops.fused_step import build_fused_step
@@ -186,7 +187,7 @@ def test_fused_step_under_shard_map():
         in_specs=(dp(flat), P("data")),
         out_specs=(dp(flat), P("data"), P("data"), P("data"), P("data"),
                    P("data")),
-        check_rep=False)
+        check_vma=False)
     s_flat, s_obs, s_rew, s_te, s_tr, _ = jax.jit(sharded)(flat, actions)
     r_flat, r_obs, r_rew, r_te, r_tr, _ = fenv._fused(flat, actions)
 
