@@ -90,6 +90,23 @@ def test_gym_registration():
     env.close()
 
 
+def test_gym_env_checker():
+    """Gymnasium's own conformance checker passes.
+
+    The reference imports SB3's `check_env` but never calls it
+    (`trainingCode.py:5`, SURVEY.md §4); here the equivalent check
+    actually runs.
+    """
+    from gymnasium.utils.env_checker import check_env
+
+    from rlenv_tpu.env.gym_compat import PlantOSGymEnv
+    env = PlantOSGymEnv(grid_size=9, num_plants=2, num_obstacles=3,
+                        lidar_range=2, lidar_channels=4,
+                        render_mode="rgb_array")
+    check_env(env, skip_render_check=False)
+    env.close()
+
+
 # -- metrics -----------------------------------------------------------------
 
 def test_episode_ring_log():
