@@ -153,10 +153,27 @@ class PlantOSGymEnv(_BASE):
         return out
 
 
-if gym is not None:  # registration parity (`plantos_env_new.py:774-777`)
+_ENTRY_POINT = "rlenv_tpu.env.gym_compat:PlantOSGymEnv"
+
+
+def register_env() -> None:
+    """(Re-)register ``'PlantOS-v0'`` pointing at :class:`PlantOSGymEnv`.
+
+    Registration parity with `plantos_env_new.py:774-777`. Idempotent, but
+    reclaims the ID if another module registered it: the reference registers
+    the same ID with a broken entry point (``'plantos_env:PlantOSEnvNew'`` —
+    that module only defines ``PlantOSEnv``), so after importing the
+    reference (e.g. in parity tests) ``gym.make('PlantOS-v0')`` would raise
+    AttributeError unless we take the slot back.
+    """
+    if gym is None:
+        return
     try:
-        if "PlantOS-v0" not in gym.registry:
-            gym.register(id="PlantOS-v0",
-                         entry_point="rlenv_tpu.env.gym_compat:PlantOSGymEnv")
+        spec = gym.registry.get("PlantOS-v0")
+        if spec is None or spec.entry_point != _ENTRY_POINT:
+            gym.register(id="PlantOS-v0", entry_point=_ENTRY_POINT)
     except Exception:  # registry API unavailable
         pass
+
+
+register_env()

@@ -82,7 +82,8 @@ def test_gym_adapter_api():
 
 def test_gym_registration():
     import gymnasium as gym
-    import rlenv_tpu.env.gym_compat  # noqa: F401 - triggers registration
+    from rlenv_tpu.env.gym_compat import register_env
+    register_env()  # reclaims the ID if the reference import clobbered it
     env = gym.make("PlantOS-v0", grid_size=9, num_plants=2,
                    num_obstacles=3, lidar_range=2, lidar_channels=4)
     obs, info = env.reset(seed=1)
