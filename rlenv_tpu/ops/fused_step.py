@@ -15,19 +15,26 @@ Python loops, `/root/reference/gradio-app/plantos_env_new.py:162-330`):
   ``L = ceil(g*g/128)*128`` (640 lanes for the 25x25 training grid), so
   every row is perfectly tiled for the 8x128 VPU. Padding lanes hold 0 and
   can never be selected (all probe indices are < g*g).
-* Per-env dynamic indexing (the classic TPU-hostile gather) is replaced by
-  *lane-compare reductions*: value-at-index = ``sum(where(lane_iota ==
-  idx, grid, 0), axis=lanes)``, vectorized over the env block. For the
-  probe set, entity codes and clamped visit counts are bit-packed into one
-  int32 grid (``E | min(visits,10) << 2``) and each of the ~73 *unique*
-  probe offsets (96 LIDAR probes + 25 visit cells dedupe to 73 at the
-  training config) is extracted with a single compare-reduce, both fields
-  recovered by shifts.
+* Per-env dynamic indexing (the classic TPU-hostile gather) appears twice
+  and gets two different treatments:
+  - The handful of PRE-movement probes (obstacle at the candidate cell,
+    visits/plant at the rover cell) use *lane-compare reductions*:
+    value-at-index = ``sum(where(lane_iota == idx, grid, 0), axis=lanes)``,
+    vectorized over the env block.
+  - The ~121 OBSERVATION probes (96 LIDAR + 25 visit-map cells) all sit at
+    static displacements from the post-move rover cell. Entity codes and
+    clamped visit counts are bit-packed into one int32 grid (``E |
+    min(visits,10) << 2``) which is then *barrel-rotated* so the rover
+    lands on lane 0: ten conditional static rotations (one per bit of
+    ``rover_flat``), after which every probe is a STATIC lane read —
+    no per-probe reductions or scalar address math at all.
 * A probe at relative offset (dx, dy) has flat index ``rover_flat +
-  dx*g + dy`` whenever it is in bounds; out-of-bounds probes are masked
-  afterwards (OOB LIDAR reads "obstacle", OOB visit cells read 1.0 —
-  `plantos_env_new.py:292-295,326-327`), so no clamping is needed inside
-  the reduction.
+  dx*g + dy`` whenever it is in bounds, i.e. static rotated lane
+  ``(dx*g + dy) mod L``; out-of-bounds probes are masked afterwards (OOB
+  LIDAR reads "obstacle", OOB visit cells read 1.0 —
+  `plantos_env_new.py:292-295,326-327`), and every wrapped-around lane
+  read is by construction an OOB probe, so the masking also covers the
+  rotation's modular wrap.
 * The first-hit scan folds far-to-near over the 6 range slices (16 lanes
   each, range-major) so the nearest hit wins — no argmax gather.
 * The kernel emits the observation in component-major column order; a
@@ -139,28 +146,26 @@ def unpack_state(flat: FlatEnvState, grid_size: int) -> EnvState:
 
 
 @functools.lru_cache(maxsize=None)
-def _probe_tables(channels: int, lidar_range: int, visit_map_size: int,
-                  grid_size: int):
-    """Static geometry: unique probe offsets + index maps into them."""
+def _probe_lanes(channels: int, lidar_range: int, visit_map_size: int,
+                 grid_size: int, L: int):
+    """Static probe geometry as ROTATED lane indices.
+
+    After the kernel barrel-rotates the packed grid so the rover sits on
+    lane 0, the probe at relative offset (dx, dy) lives at static lane
+    ``(dx*g + dy) mod L``. Returns the raw offset tables plus per-range
+    LIDAR lanes ([R, C], range-major for the first-hit fold) and the
+    visit-window lanes ([V]).
+    """
     lid = lidar_offsets(channels, lidar_range)          # [C, R, 2]
     vis = visit_map_offsets(visit_map_size)             # [V, 2]
-    offsets = {}                                        # (dx, dy) -> uid
-
-    def uid(dx: int, dy: int) -> int:
-        key = (int(dx), int(dy))
-        if key not in offsets:
-            offsets[key] = len(offsets)
-        return offsets[key]
-
-    # Range-major LIDAR table: slice r holds all channels at range r+1.
-    lidar_uid = np.array(
-        [[uid(*lid[c, r]) for c in range(channels)]
+    g = grid_size
+    lid_lanes = np.array(
+        [[(int(lid[c, r, 0]) * g + int(lid[c, r, 1])) % L
+          for c in range(channels)]
          for r in range(lidar_range)], dtype=np.int32)   # [R, C]
-    visit_uid = np.array([uid(dx, dy) for dx, dy in vis], dtype=np.int32)
-    uniq = np.array(list(offsets), dtype=np.int32)       # [U, 2]
-    # Flat-lane displacement of each unique offset.
-    uniq_disp = uniq[:, 0] * grid_size + uniq[:, 1]      # [U]
-    return uniq, uniq_disp, lidar_uid, visit_uid, lid, vis
+    visit_lanes = np.array([(int(dx) * g + int(dy)) % L
+                            for dx, dy in vis], dtype=np.int32)
+    return lid, vis, lid_lanes, visit_lanes
 
 
 def _obs_permutation(config: EnvConfig) -> np.ndarray:
@@ -208,9 +213,9 @@ def build_fused_step(config: EnvConfig, num_envs: int,
     Bb = block_envs
     n_blocks = num_envs // Bb
 
-    uniq, uniq_disp, lidar_uid, visit_uid, lid, vis = _probe_tables(
-        C, Rr, config.visit_map_size, g)
-    U = len(uniq)
+    lid, vis, lid_lanes, visit_lanes = _probe_lanes(
+        C, Rr, config.visit_map_size, g, L)
+    ROT_BITS = (g * g - 1).bit_length()   # rover_flat < g*g <= 1 << ROT_BITS
     perm = _obs_permutation(config)
     OBS_PAD = _lane_pad(config.obs_dim)
 
@@ -288,17 +293,23 @@ def build_fused_step(config: EnvConfig, num_envs: int,
         truncated = step_count >= max_steps
 
         # --- observation on the POST-step state (rover at target) ---
-        # Bit-pack entity code + clamped visit count; extract each unique
-        # probe offset with one lane-compare reduction.
+        # Bit-pack entity code + clamped visit count, then barrel-rotate so
+        # the rover cell lands on lane 0: one conditional static rotation
+        # per bit of tidx. After that every probe is a static lane read.
         entity = jnp.where(obst > 0, ENTITY_OBSTACLE,
                            new_plants + (new_plants > 0))
         packed = entity | (jnp.minimum(new_visits, 10) << 2)
-        shifted = lane - tidx                              # [Bb, L]
-        uvals = []
-        for u in range(U):
-            v = jnp.sum(jnp.where(shifted == int(uniq_disp[u]), packed, 0),
-                        axis=1, keepdims=True)
-            uvals.append(v)
+        rolled = packed
+        for k in range(ROT_BITS):
+            sh = 1 << k
+            rot = jnp.concatenate([rolled[:, sh:], rolled[:, :sh]], axis=1)
+            rolled = jnp.where((tidx & sh) > 0, rot, rolled)
+        # rolled[e, j] == packed[e, (tidx[e] + j) % L]; wrapped lanes are
+        # always OOB probes, masked below.
+
+        def gather_lanes(lanes):
+            return jnp.concatenate(
+                [rolled[:, int(l):int(l) + 1] for l in lanes], axis=1)
 
         # First-hit fold, far -> near (`plantos_env_new.py:282-305`).
         dist = jnp.full((Bb, C), Rr, jnp.int32)
@@ -308,9 +319,7 @@ def build_fused_step(config: EnvConfig, num_envs: int,
             pdy = pdy_ref[r:r + 1, :]
             px, py = tx + pdx, ty + pdy
             oob = (px < 0) | (px >= g) | (py < 0) | (py >= g)
-            ev = jnp.concatenate(
-                [uvals[int(lidar_uid[r, c])] for c in range(C)],
-                axis=1) & 3                                # [Bb, C]
+            ev = gather_lanes(lid_lanes[r]) & 3            # [Bb, C]
             val = jnp.where(oob, ENTITY_OBSTACLE, ev)
             hit = val > 0
             dist = jnp.where(hit, r + 1, dist)
@@ -319,8 +328,7 @@ def build_fused_step(config: EnvConfig, num_envs: int,
         # Visit window (`plantos_env_new.py:317-328`): OOB reads 1.0.
         vx, vy = tx + vdx_ref[:], ty + vdy_ref[:]          # [Bb, V]
         v_oob = (vx < 0) | (vx >= g) | (vy < 0) | (vy >= g)
-        vcounts = jnp.concatenate(
-            [uvals[int(visit_uid[i])] for i in range(V)], axis=1) >> 2
+        vcounts = gather_lanes(visit_lanes) >> 2
         visit_map = jnp.where(v_oob, 1.0, vcounts.astype(jnp.float32) / 10.0)
 
         obs_out[:] = jnp.concatenate([
@@ -361,8 +369,19 @@ def build_fused_step(config: EnvConfig, num_envs: int,
     def const_spec(rows, cols):
         return pl.BlockSpec((rows, cols), lambda i: (0, 0))
 
+    # Allow bigger env blocks than the default 16 MiB scoped-vmem budget
+    # permits (the chip has 128 MiB of VMEM).
+    if interpret:
+        compiler_params = None
+    else:
+        from jax.experimental.pallas import tpu as pltpu
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024)
+
     pallas_step = pl.pallas_call(
         kernel,
+        compiler_params=compiler_params,
         grid=(n_blocks,),
         in_specs=[spec(L), spec(L), spec(L), spec(L), spec(_SC_COLS),
                   spec(1), const_spec(Rr, C), const_spec(Rr, C),
