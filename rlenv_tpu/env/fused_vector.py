@@ -18,7 +18,8 @@ from rlenv_tpu.config import CurriculumConfig
 from rlenv_tpu.env.core import PlantOS
 from rlenv_tpu.env.curriculum import CurriculumVecPlantOS
 from rlenv_tpu.env.vector import _select
-from rlenv_tpu.ops.fused_step import FlatEnvState, build_fused_step, pack_state
+from rlenv_tpu.ops.fused_step import (FlatEnvState, build_fused_step,
+                                      pack_state, repack_visits)
 
 
 def _fused_info(cfg, scal: jnp.ndarray, is_watering: jnp.ndarray
@@ -137,4 +138,5 @@ class FusedCurriculumVecPlantOS(CurriculumVecPlantOS):
         return flat.visits
 
     def _replace_visits(self, flat: FlatEnvState, visits):
-        return flat.replace(visits=visits)
+        # Also refresh the clamped visit mirrors inside the packed grid.
+        return repack_visits(flat, self._g, visits)

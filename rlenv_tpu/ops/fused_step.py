@@ -11,32 +11,34 @@ program so every grid crosses HBM exactly once per step.
 Design notes (TPU, not a port — the reference computes all of this in
 Python loops, `/root/reference/gradio-app/plantos_env_new.py:162-330`):
 
-* Grids live flattened and lane-padded: ``[B, L]`` with
-  ``L = ceil(g*g/128)*128`` (640 lanes for the 25x25 training grid), so
-  every row is perfectly tiled for the 8x128 VPU. Padding lanes hold 0 and
-  can never be selected (all probe indices are < g*g).
-* Per-env dynamic indexing (the classic TPU-hostile gather) appears twice
-  and gets two different treatments:
-  - The handful of PRE-movement probes (obstacle at the candidate cell,
-    visits/plant at the rover cell) use *lane-compare reductions*:
-    value-at-index = ``sum(where(lane_iota == idx, grid, 0), axis=lanes)``,
-    vectorized over the env block.
-  - The ~121 OBSERVATION probes (96 LIDAR + 25 visit-map cells) all sit at
-    static displacements from the post-move rover cell. Entity codes and
-    clamped visit counts are bit-packed into one int32 grid (``E |
-    min(visits,10) << 2``) which is then *barrel-rotated* so the rover
-    lands on lane 0: ten conditional static rotations (one per bit of
-    ``rover_flat``), after which every probe is a STATIC lane read —
-    no per-probe reductions or scalar address math at all.
-* A probe at relative offset (dx, dy) has flat index ``rover_flat +
-  dx*g + dy`` whenever it is in bounds, i.e. static rotated lane
-  ``(dx*g + dy) mod L``; out-of-bounds probes are masked afterwards (OOB
-  LIDAR reads "obstacle", OOB visit cells read 1.0 —
-  `plantos_env_new.py:292-295,326-327`), and every wrapped-around lane
-  read is by construction an OOB probe, so the masking also covers the
+* The world lives in a single bit-packed int32 grid, flattened and
+  lane-padded (``L = ceil(g*g/128)*128`` = 640 lanes for the 25x25
+  training grid): per cell ``entity(2b) | min(visits,10)(4b) |
+  explored(1b)``. Obstacle/plant/explored grids are not materialized in
+  the hot path at all — they are reconstructed from this field at the
+  pack/unpack boundary.
+* The grid is stored in ROVER-CENTRIC rotation: lane ``j`` holds the cell
+  at flat index ``(rover_flat + j) mod L``. That makes every per-env
+  dynamic index STATIC:
+  - the 4 movement-candidate cells are lanes ``(±1) mod L`` / ``(±g) mod
+    L``, the rover cell is lane 0 — plain static slices, no gathers and no
+    lane-compare reductions;
+  - after the move, re-alignment is a rotation by the 1-cell displacement
+    actually taken: four static rotations (N/E/S/W) selected per env —
+    NOT a full barrel shift over the bits of ``rover_flat``;
+  - every observation probe at relative offset (dx, dy) is the static
+    lane ``(dx*g + dy) mod L``; all post-move updates (visit increment,
+    explored bit, watering) land on static lane 0.
+* Wrapped-around lane reads are by construction out-of-bounds probes; OOB
+  masking (LIDAR reads "obstacle", visit cells read 1.0 —
+  `plantos_env_new.py:292-295,326-327`) therefore also covers the
   rotation's modular wrap.
-* The first-hit scan folds far-to-near over the 6 range slices (16 lanes
-  each, range-major) so the nearest hit wins — no argmax gather.
+* Raw (unclamped) visit counts are kept in a separate unrotated int32
+  grid, updated with one lane-compare pass — they are state-fidelity
+  data (curriculum persistence, `trainingCode.py:80-84`), not part of the
+  observation math.
+* The first-hit LIDAR scan folds far-to-near over the range slices so the
+  nearest hit wins — no argmax gather.
 * The kernel emits the observation in component-major column order; a
   static column permutation outside the kernel produces the reference's
   channel-major layout (`plantos_env_new.py:272-330`).
@@ -57,7 +59,9 @@ from flax import struct
 
 from rlenv_tpu.config import EnvConfig
 from rlenv_tpu.env.lidar import lidar_offsets, visit_map_offsets
-from rlenv_tpu.env.state import ENTITY_OBSTACLE, EnvState, PLANT_HYDRATED, PLANT_THIRSTY
+from rlenv_tpu.env.state import (ENTITY_OBSTACLE, ENTITY_PLANT_HYDRATED,
+                                 ENTITY_PLANT_THIRSTY, EnvState,
+                                 PLANT_HYDRATED, PLANT_THIRSTY)
 
 # scal[:, c] column assignments (int32 per-env scalars).
 _SC_RX = 0
@@ -72,6 +76,12 @@ _SC_COLLIDED = 8
 _SC_COLLISIONS = 9
 _SC_COLS = 16
 
+# Packed-cell field layout: entity(2) | clamped visits(4) | explored(1).
+_VIS_SHIFT = 2
+_EXPL_SHIFT = 6
+_ENT_MASK = 3
+_VIS_MASK = 15 << _VIS_SHIFT
+
 
 def _lane_pad(n: int) -> int:
     return ((n + 127) // 128) * 128
@@ -79,14 +89,23 @@ def _lane_pad(n: int) -> int:
 
 @struct.dataclass
 class FlatEnvState:
-    """Kernel-layout batched env state: flattened, lane-padded grids."""
+    """Kernel-layout batched env state.
 
-    obstacles: jnp.ndarray   # int8[B, L]
-    plants: jnp.ndarray      # int8[B, L]
-    visits: jnp.ndarray      # int32[B, L]
-    explored: jnp.ndarray    # int8[B, L]
+    ``rolled`` is the packed world grid in rover-centric rotation:
+    ``rolled[e, j]`` is the packed cell at flat index
+    ``(rover_flat[e] + j) mod L``. ``visits`` holds raw (unclamped) visit
+    counts in ordinary unrotated flat layout.
+    """
+
+    rolled: jnp.ndarray      # int32[B, L] — packed, rover at lane 0
+    visits: jnp.ndarray      # int32[B, L] — raw counts, unrotated
     scal: jnp.ndarray        # int32[B, 16]
     key: jnp.ndarray         # per-env PRNG key, [B, 2] uint32
+
+
+def _roll_rows(x: jnp.ndarray, shift: jnp.ndarray) -> jnp.ndarray:
+    """Per-row left-rotate: out[e, j] = x[e, (j + shift[e]) % L]."""
+    return jax.vmap(lambda row, s: jnp.roll(row, -s))(x, shift)
 
 
 def pack_state(state: EnvState, grid_size: int) -> FlatEnvState:
@@ -95,10 +114,19 @@ def pack_state(state: EnvState, grid_size: int) -> FlatEnvState:
     B = state.rover.shape[0]
     L = _lane_pad(g * g)
 
-    def flat(x, dtype):
-        x = x.reshape(B, g * g).astype(dtype)
-        return jnp.pad(x, ((0, 0), (0, L - g * g)))
+    plants = state.plants.reshape(B, g * g).astype(jnp.int32)
+    entity = jnp.where(state.obstacles.reshape(B, g * g),
+                       ENTITY_OBSTACLE, plants + (plants > 0))
+    packed = (entity
+              | (jnp.minimum(state.visit_counts.reshape(B, g * g), 10)
+                 << _VIS_SHIFT)
+              | (state.explored.reshape(B, g * g).astype(jnp.int32)
+                 << _EXPL_SHIFT))
+    packed = jnp.pad(packed, ((0, 0), (0, L - g * g)))
+    tidx = state.rover[:, 0] * g + state.rover[:, 1]
 
+    visits = jnp.pad(state.visit_counts.reshape(B, g * g).astype(jnp.int32),
+                     ((0, 0), (0, L - g * g)))
     scal = jnp.stack([
         state.rover[:, 0], state.rover[:, 1],
         state.step_count, state.explored_count, state.free_cells,
@@ -109,10 +137,8 @@ def pack_state(state: EnvState, grid_size: int) -> FlatEnvState:
     ], axis=1).astype(jnp.int32)
     scal = jnp.pad(scal, ((0, 0), (0, _SC_COLS - scal.shape[1])))
     return FlatEnvState(
-        obstacles=flat(state.obstacles, jnp.int8),
-        plants=flat(state.plants, jnp.int8),
-        visits=flat(state.visit_counts, jnp.int32),
-        explored=flat(state.explored, jnp.int8),
+        rolled=_roll_rows(packed, tidx),
+        visits=visits,
         scal=scal,
         key=state.key,
     )
@@ -122,17 +148,18 @@ def unpack_state(flat: FlatEnvState, grid_size: int) -> EnvState:
     """Kernel layout -> standard EnvState batch (rendering, debugging)."""
     g = grid_size
     B = flat.scal.shape[0]
-
-    def grid(x, dtype):
-        return x[:, : g * g].reshape(B, g, g).astype(dtype)
-
     sc = flat.scal
+    tidx = sc[:, _SC_RX] * g + sc[:, _SC_RY]
+    packed = _roll_rows(flat.rolled, -tidx)[:, : g * g]
+    entity = packed & _ENT_MASK
     return EnvState(
-        obstacles=grid(flat.obstacles, bool),
-        plants=grid(flat.plants, jnp.int8),
+        obstacles=(entity == ENTITY_OBSTACLE).reshape(B, g, g),
+        plants=jnp.where(entity >= ENTITY_PLANT_HYDRATED, entity - 1, 0)
+               .astype(jnp.int8).reshape(B, g, g),
         rover=sc[:, _SC_RX:_SC_RY + 1],
-        visit_counts=grid(flat.visits, jnp.int32),
-        explored=grid(flat.explored, bool),
+        visit_counts=flat.visits[:, : g * g].reshape(B, g, g),
+        explored=((packed >> _EXPL_SHIFT) & 1).astype(bool)
+                 .reshape(B, g, g),
         explored_count=sc[:, _SC_EXPLORED],
         free_cells=sc[:, _SC_FREE],
         thirsty_count=sc[:, _SC_THIRSTY],
@@ -145,27 +172,49 @@ def unpack_state(flat: FlatEnvState, grid_size: int) -> EnvState:
     )
 
 
-@functools.lru_cache(maxsize=None)
-def _probe_lanes(channels: int, lidar_range: int, visit_map_size: int,
-                 grid_size: int, L: int):
-    """Static probe geometry as ROTATED lane indices.
+def repack_visits(flat: FlatEnvState, grid_size: int,
+                  visits: jnp.ndarray) -> FlatEnvState:
+    """Replace raw visit counts AND their clamped in-grid mirrors.
 
-    After the kernel barrel-rotates the packed grid so the rover sits on
-    lane 0, the probe at relative offset (dx, dy) lives at static lane
-    ``(dx*g + dy) mod L``. Returns the raw offset tables plus per-range
-    LIDAR lanes ([R, C], range-major for the first-hit fold) and the
-    visit-window lanes ([V]).
+    Used by the curriculum wrapper when it restores persistent visit
+    counts across a maze-reuse reset (`trainingCode.py:80-84`).
+    """
+    g = grid_size
+    L = flat.rolled.shape[1]
+    vbits = jnp.minimum(visits[:, : g * g].astype(jnp.int32), 10) << _VIS_SHIFT
+    vbits = jnp.pad(vbits, ((0, 0), (0, L - g * g)))
+    tidx = flat.scal[:, _SC_RX] * g + flat.scal[:, _SC_RY]
+    rolled = (flat.rolled & ~_VIS_MASK) | _roll_rows(vbits, tidx)
+    return flat.replace(visits=visits, rolled=rolled)
+
+
+@functools.lru_cache(maxsize=None)
+def _probe_selector(channels: int, lidar_range: int, visit_map_size: int,
+                    grid_size: int, L: int):
+    """Static probe geometry as a constant 0/1 gather matrix.
+
+    With the rover on lane 0, the probe at relative offset (dx, dy) lives
+    at static lane ``(dx*g + dy) mod L`` — so gathering ALL probes is one
+    MXU matmul ``rolled_f32 @ SEL`` with a CONSTANT selector. Columns are
+    laid out so each consumer reads an aligned contiguous slice:
+    ``[r*C, (r+1)*C)`` = LIDAR range slice r+1 (range-major for the
+    first-hit fold), ``[R*C, R*C+V)`` = the visit window. Packed cell
+    values fit in 7 bits, so the f32 round-trip is exact.
     """
     lid = lidar_offsets(channels, lidar_range)          # [C, R, 2]
     vis = visit_map_offsets(visit_map_size)             # [V, 2]
     g = grid_size
-    lid_lanes = np.array(
-        [[(int(lid[c, r, 0]) * g + int(lid[c, r, 1])) % L
-          for c in range(channels)]
-         for r in range(lidar_range)], dtype=np.int32)   # [R, C]
-    visit_lanes = np.array([(int(dx) * g + int(dy)) % L
-                            for dx, dy in vis], dtype=np.int32)
-    return lid, vis, lid_lanes, visit_lanes
+    V = visit_map_size ** 2
+    n_cols = lidar_range * channels + V
+    PCOL = _lane_pad(n_cols)
+    sel = np.zeros((L, PCOL), dtype=np.float32)
+    for r in range(lidar_range):
+        for c in range(channels):
+            lane = (int(lid[c, r, 0]) * g + int(lid[c, r, 1])) % L
+            sel[lane, r * channels + c] = 1.0
+    for i, (dx, dy) in enumerate(vis):
+        sel[(int(dx) * g + int(dy)) % L, lidar_range * channels + i] = 1.0
+    return lid, vis, sel
 
 
 def _obs_permutation(config: EnvConfig) -> np.ndarray:
@@ -213,22 +262,30 @@ def build_fused_step(config: EnvConfig, num_envs: int,
     Bb = block_envs
     n_blocks = num_envs // Bb
 
-    lid, vis, lid_lanes, visit_lanes = _probe_lanes(
-        C, Rr, config.visit_map_size, g, L)
-    ROT_BITS = (g * g - 1).bit_length()   # rover_flat < g*g <= 1 << ROT_BITS
+    lid, vis, sel_np = _probe_selector(C, Rr, config.visit_map_size, g, L)
+    PCOL = sel_np.shape[1]
     perm = _obs_permutation(config)
     OBS_PAD = _lane_pad(config.obs_dim)
 
-    def kernel(obst_ref, plants_ref, visits_ref, explored_ref, scal_ref,
-               action_ref, pdx_ref, pdy_ref, vdx_ref, vdy_ref,
-               plants_out, visits_out, explored_out, scal_out,
+    def kernel(rolled_ref, visits_ref, scal_ref, action_ref,
+               pdx_ref, pdy_ref, vdx_ref, vdy_ref, sel_ref,
+               rolled_out, visits_out, scal_out,
                obs_out, rew_out, flags_out):
         lane = jax.lax.broadcasted_iota(jnp.int32, (Bb, L), 1)
-        obst = obst_ref[:].astype(jnp.int32)
-        plants = plants_ref[:].astype(jnp.int32)
-        visits = visits_ref[:]
-        explored = explored_ref[:].astype(jnp.int32)
+        rolled = rolled_ref[:]                # int32[Bb, L], rover at lane 0
+        visits = visits_ref[:]                # int32[Bb, L], raw, unrotated
         sc = scal_ref[:]
+
+        def rot(x, d):
+            """Static left-rotate by d cells: out[j] = x[(j + d) % L]."""
+            d %= L
+            if d == 0:
+                return x
+            return jnp.concatenate([x[:, d:], x[:, :d]], axis=1)
+
+        def lane_col(x, l):
+            l = int(l) % L
+            return x[:, l:l + 1]
 
         rx = sc[:, _SC_RX:_SC_RX + 1]
         ry = sc[:, _SC_RY:_SC_RY + 1]
@@ -236,43 +293,59 @@ def build_fused_step(config: EnvConfig, num_envs: int,
         is_move = a < 4
 
         # --- movement (`plantos_env_new.py:197-234`) ---
+        # Candidate cells are static lanes of the rover-centric grid.
         dx = jnp.where(a == 0, -1, 0) + jnp.where(a == 2, 1, 0)
         dy = jnp.where(a == 1, 1, 0) + jnp.where(a == 3, -1, 0)
         npx, npy = rx + dx, ry + dy
         in_bounds = (npx >= 0) & (npx < g) & (npy >= 0) & (npy < g)
-        nidx = jnp.clip(npx, 0, g - 1) * g + jnp.clip(npy, 0, g - 1)
-        blocked = jnp.sum(jnp.where(lane == nidx, obst, 0),
-                          axis=1, keepdims=True) > 0
+        c0 = lane_col(rolled, 0)
+        cand = jnp.where(
+            a == 0, lane_col(rolled, -g),
+            jnp.where(a == 1, lane_col(rolled, 1),
+                      jnp.where(a == 2, lane_col(rolled, g),
+                                jnp.where(a == 3, lane_col(rolled, -1),
+                                          c0))))
+        blocked = (cand & _ENT_MASK) == ENTITY_OBSTACLE
         valid = is_move & in_bounds & ~blocked
         invalid_move = is_move & ~valid
         tx = jnp.where(valid, npx, rx)
         ty = jnp.where(valid, npy, ry)
         tidx = tx * g + ty
-        sel_t = lane == tidx
-        visit_at_t = jnp.sum(jnp.where(sel_t, visits, 0),
-                             axis=1, keepdims=True)
-        never_visited = visit_at_t == 0
-        expl_at_t = jnp.sum(jnp.where(sel_t, explored, 0),
-                            axis=1, keepdims=True) > 0
+        tcell = jnp.where(valid, cand, c0)    # target cell, pre-update
+        vclamp_t = (tcell >> _VIS_SHIFT) & 15
+        never_visited = vclamp_t == 0
+        expl_at_t = ((tcell >> _EXPL_SHIFT) & 1) > 0
         newly_explored = valid & ~expl_at_t
 
-        # --- watering (`plantos_env_new.py:236-245`); for action 4 the
-        # rover does not move, so sel_t is also the rover cell ---
-        ridx = rx * g + ry
-        sel_r = lane == ridx
-        plant_here = jnp.sum(jnp.where(sel_r, plants, 0),
-                             axis=1, keepdims=True)
+        # --- watering (`plantos_env_new.py:236-245`): rover cell = lane 0 ---
+        ent_r = c0 & _ENT_MASK
         water_reward = jnp.where(
-            plant_here == PLANT_THIRSTY, R.goal,
-            jnp.where(plant_here == PLANT_HYDRATED, R.mistake,
+            ent_r == ENTITY_PLANT_THIRSTY, R.goal,
+            jnp.where(ent_r == ENTITY_PLANT_HYDRATED, R.mistake,
                       R.water_empty))
-        do_water = ~is_move & (plant_here == PLANT_THIRSTY)
+        do_water = ~is_move & (ent_r == ENTITY_PLANT_THIRSTY)
 
-        # --- grid updates, one elementwise pass each ---
-        new_visits = visits + (sel_t & valid).astype(jnp.int32)
-        new_explored = explored | sel_t.astype(jnp.int32)
-        new_plants = jnp.where(sel_r & do_water,
-                               jnp.int32(PLANT_HYDRATED), plants)
+        # --- re-align to the new rover frame: rotate by the 1-cell
+        # displacement actually taken (at most one of dx/dy is nonzero) ---
+        mdx = tx - rx
+        mdy = ty - ry
+        r1 = jnp.where(mdx == -1, rot(rolled, -g),
+                       jnp.where(mdx == 1, rot(rolled, g), rolled))
+        r2 = jnp.where(mdy == -1, rot(r1, -1),
+                       jnp.where(mdy == 1, rot(r1, 1), r1))
+
+        # --- all updates land on static lane 0 (the new rover cell):
+        # saturating visit increment, explored bit, watering 3 -> 2.
+        # Field arithmetic never carries: visits stay <= 10 (< 16) and the
+        # watering decrement only fires when the entity field is 3.
+        inc = jnp.where(valid & (vclamp_t < 10),
+                        jnp.int32(1 << _VIS_SHIFT), 0)
+        dec = jnp.where(do_water, jnp.int32(1), 0)
+        col0 = (tcell + inc - dec) | (1 << _EXPL_SHIFT)
+        new_rolled = jnp.concatenate([col0, r2[:, 1:]], axis=1)
+
+        # --- raw visit counts (unrotated; state fidelity only) ---
+        new_visits = visits + ((lane == tidx) & valid).astype(jnp.int32)
 
         # --- reward & termination (`plantos_env_new.py:162-195`) ---
         move_reward = jnp.where(
@@ -292,24 +365,13 @@ def build_fused_step(config: EnvConfig, num_envs: int,
         terminated = fully
         truncated = step_count >= max_steps
 
-        # --- observation on the POST-step state (rover at target) ---
-        # Bit-pack entity code + clamped visit count, then barrel-rotate so
-        # the rover cell lands on lane 0: one conditional static rotation
-        # per bit of tidx. After that every probe is a static lane read.
-        entity = jnp.where(obst > 0, ENTITY_OBSTACLE,
-                           new_plants + (new_plants > 0))
-        packed = entity | (jnp.minimum(new_visits, 10) << 2)
-        rolled = packed
-        for k in range(ROT_BITS):
-            sh = 1 << k
-            rot = jnp.concatenate([rolled[:, sh:], rolled[:, :sh]], axis=1)
-            rolled = jnp.where((tidx & sh) > 0, rot, rolled)
-        # rolled[e, j] == packed[e, (tidx[e] + j) % L]; wrapped lanes are
-        # always OOB probes, masked below.
-
-        def gather_lanes(lanes):
-            return jnp.concatenate(
-                [rolled[:, int(l):int(l) + 1] for l in lanes], axis=1)
+        # --- observation on the POST-step state: all 121 probes are static
+        # lanes of the re-aligned grid, gathered by ONE MXU matmul with the
+        # constant 0/1 selector (cell fields are 7 bits -> f32 is exact);
+        # wrapped lanes are OOB, masked below.
+        probes = jnp.dot(new_rolled.astype(jnp.float32), sel_ref[:],
+                         preferred_element_type=jnp.float32)
+        probes = probes.astype(jnp.int32)                  # [Bb, PCOL]
 
         # First-hit fold, far -> near (`plantos_env_new.py:282-305`).
         dist = jnp.full((Bb, C), Rr, jnp.int32)
@@ -319,7 +381,7 @@ def build_fused_step(config: EnvConfig, num_envs: int,
             pdy = pdy_ref[r:r + 1, :]
             px, py = tx + pdx, ty + pdy
             oob = (px < 0) | (px >= g) | (py < 0) | (py >= g)
-            ev = gather_lanes(lid_lanes[r]) & 3            # [Bb, C]
+            ev = probes[:, r * C:(r + 1) * C] & _ENT_MASK  # [Bb, C]
             val = jnp.where(oob, ENTITY_OBSTACLE, ev)
             hit = val > 0
             dist = jnp.where(hit, r + 1, dist)
@@ -328,7 +390,7 @@ def build_fused_step(config: EnvConfig, num_envs: int,
         # Visit window (`plantos_env_new.py:317-328`): OOB reads 1.0.
         vx, vy = tx + vdx_ref[:], ty + vdy_ref[:]          # [Bb, V]
         v_oob = (vx < 0) | (vx >= g) | (vy < 0) | (vy >= g)
-        vcounts = gather_lanes(visit_lanes) >> 2
+        vcounts = (probes[:, Rr * C:Rr * C + V] >> _VIS_SHIFT) & 15
         visit_map = jnp.where(v_oob, 1.0, vcounts.astype(jnp.float32) / 10.0)
 
         obs_out[:] = jnp.concatenate([
@@ -344,9 +406,8 @@ def build_fused_step(config: EnvConfig, num_envs: int,
         ], axis=1)                                         # [Bb, OBS_PAD]
 
         # --- writebacks ---
-        plants_out[:] = new_plants.astype(jnp.int8)
+        rolled_out[:] = new_rolled
         visits_out[:] = new_visits
-        explored_out[:] = new_explored.astype(jnp.int8)
         zeros = jnp.zeros_like(tx)
         scal_out[:] = jnp.concatenate([
             tx, ty, step_count, explored_count, free_cells,
@@ -383,15 +444,15 @@ def build_fused_step(config: EnvConfig, num_envs: int,
         kernel,
         compiler_params=compiler_params,
         grid=(n_blocks,),
-        in_specs=[spec(L), spec(L), spec(L), spec(L), spec(_SC_COLS),
+        in_specs=[spec(L), spec(L), spec(_SC_COLS),
                   spec(1), const_spec(Rr, C), const_spec(Rr, C),
-                  const_spec(1, V), const_spec(1, V)],
-        out_specs=[spec(L), spec(L), spec(L), spec(_SC_COLS),
+                  const_spec(1, V), const_spec(1, V),
+                  const_spec(L, PCOL)],
+        out_specs=[spec(L), spec(L), spec(_SC_COLS),
                    spec(OBS_PAD), spec(1), spec(4)],
         out_shape=[
-            jax.ShapeDtypeStruct((num_envs, L), jnp.int8),      # plants
+            jax.ShapeDtypeStruct((num_envs, L), jnp.int32),     # rolled
             jax.ShapeDtypeStruct((num_envs, L), jnp.int32),     # visits
-            jax.ShapeDtypeStruct((num_envs, L), jnp.int8),      # explored
             jax.ShapeDtypeStruct((num_envs, _SC_COLS), jnp.int32),
             jax.ShapeDtypeStruct((num_envs, OBS_PAD), jnp.float32),
             jax.ShapeDtypeStruct((num_envs, 1), jnp.float32),   # reward
@@ -405,15 +466,15 @@ def build_fused_step(config: EnvConfig, num_envs: int,
     pdy_j = jnp.asarray(lid[:, :, 1].T.copy())
     vdx_j = jnp.asarray(vis[:, 0][None, :].copy())         # [1, V]
     vdy_j = jnp.asarray(vis[:, 1][None, :].copy())
+    sel_j = jnp.asarray(sel_np)                            # [L, PCOL]
 
     def step(flat: FlatEnvState, actions: jnp.ndarray):
         actions = actions.astype(jnp.int32).reshape(num_envs, 1)
-        plants, visits, explored, scal, obs_k, rew, flags = pallas_step(
-            flat.obstacles, flat.plants, flat.visits, flat.explored,
-            flat.scal, actions, pdx_j, pdy_j, vdx_j, vdy_j)
-        new_flat = FlatEnvState(
-            obstacles=flat.obstacles, plants=plants, visits=visits,
-            explored=explored, scal=scal, key=flat.key)
+        rolled, visits, scal, obs_k, rew, flags = pallas_step(
+            flat.rolled, flat.visits, flat.scal, actions,
+            pdx_j, pdy_j, vdx_j, vdy_j, sel_j)
+        new_flat = FlatEnvState(rolled=rolled, visits=visits, scal=scal,
+                                key=flat.key)
         obs = jnp.take(obs_k, perm_j, axis=1)
         return (new_flat, obs, rew[:, 0], flags[:, 0].astype(bool),
                 flags[:, 1].astype(bool), flags[:, 2].astype(bool))
