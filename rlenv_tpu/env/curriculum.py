@@ -127,13 +127,18 @@ class CurriculumVecPlantOS:
             term = term | threshold_met
         done = term | trunc
 
-        # Mid-episode persistent tracking (`trainingCode.py:95-97`).
-        visits_now = self._visits(env_states)
-        persistent = jnp.where(self._b(cstate.persistent_set, visits_now),
-                               visits_now, cstate.persistent_visits)
-
         def do_resets(args):
-            env_states, obs, persistent = args
+            env_states, obs = args
+            # Persistent tracking (`trainingCode.py:95-97`). The reference
+            # refreshes its snapshot every step, but the value is only ever
+            # READ here at reset time and ``persistent_set`` only changes at
+            # resets — so snapshotting once, at the moment an episode ends,
+            # is step-for-step equivalent and keeps the [B, g*g]-sized
+            # select out of the hot loop.
+            visits_now = self._visits(env_states)
+            persistent = jnp.where(
+                self._b(cstate.persistent_set, visits_now),
+                visits_now, cstate.persistent_visits)
             # --- reset decision (`trainingCode.py:44-84`) ---
             episodes_inc = cstate.episodes_on_maze + 1
             timeout = episodes_inc >= cfg.max_episodes_per_maze
@@ -192,13 +197,12 @@ class CurriculumVecPlantOS:
             return new_cstate, jnp.where(done[:, None], reset_obs, obs)
 
         def no_resets(args):
-            env_states, obs, persistent = args
+            env_states, obs = args
             return (cstate.replace(env=env_states,
-                                   maze_completed=maze_completed,
-                                   persistent_visits=persistent), obs)
+                                   maze_completed=maze_completed), obs)
 
         new_cstate, new_obs = jax.lax.cond(
-            jnp.any(done), do_resets, no_resets, (env_states, obs, persistent))
+            jnp.any(done), do_resets, no_resets, (env_states, obs))
 
         info = dict(info)
         info["final_obs"] = obs

@@ -19,7 +19,7 @@ from rlenv_tpu.env.core import PlantOS
 from rlenv_tpu.env.curriculum import CurriculumVecPlantOS
 from rlenv_tpu.env.vector import _select
 from rlenv_tpu.ops.fused_step import (FlatEnvState, build_fused_step,
-                                      pack_state, repack_visits)
+                                      pack_state, raw_visits, repack_visits)
 
 
 def _fused_info(cfg, scal: jnp.ndarray, is_watering: jnp.ndarray
@@ -135,8 +135,10 @@ class FusedCurriculumVecPlantOS(CurriculumVecPlantOS):
         return flat, obs, rewards, term, trunc, info
 
     def _visits(self, flat: FlatEnvState) -> jnp.ndarray:
-        return flat.visits
+        # Unrotate + unpack raw counts — only ever called at reset
+        # boundaries (the curriculum snapshots/restores under lax.cond).
+        return raw_visits(flat, self._g)
 
     def _replace_visits(self, flat: FlatEnvState, visits):
-        # Also refresh the clamped visit mirrors inside the packed grid.
+        # Rewrites both visit fields (raw + clamped mirror) in the grid.
         return repack_visits(flat, self._g, visits)

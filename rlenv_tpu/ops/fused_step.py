@@ -14,9 +14,10 @@ Python loops, `/root/reference/gradio-app/plantos_env_new.py:162-330`):
 * The world lives in a single bit-packed int32 grid, flattened and
   lane-padded (``L = ceil(g*g/128)*128`` = 640 lanes for the 25x25
   training grid): per cell ``entity(2b) | min(visits,10)(4b) |
-  explored(1b)``. Obstacle/plant/explored grids are not materialized in
-  the hot path at all — they are reconstructed from this field at the
-  pack/unpack boundary.
+  explored(1b) | raw_visits(16b)``. Obstacle/plant/explored/visit grids
+  are not materialized in the hot path at all — they are reconstructed
+  from this field at the pack/unpack boundary, and the kernel's big-array
+  HBM traffic is exactly ONE grid read + ONE grid write per step.
 * The grid is stored in ROVER-CENTRIC rotation: lane ``j`` holds the cell
   at flat index ``(rover_flat + j) mod L``. That makes every per-env
   dynamic index STATIC:
@@ -33,10 +34,10 @@ Python loops, `/root/reference/gradio-app/plantos_env_new.py:162-330`):
   masking (LIDAR reads "obstacle", visit cells read 1.0 —
   `plantos_env_new.py:292-295,326-327`) therefore also covers the
   rotation's modular wrap.
-* Raw (unclamped) visit counts are kept in a separate unrotated int32
-  grid, updated with one lane-compare pass — they are state-fidelity
-  data (curriculum persistence, `trainingCode.py:80-84`), not part of the
-  observation math.
+* Raw (unclamped) visit counts ride in the upper 16 bits of the same
+  packed cell (saturating at 2^16-1) — they are state-fidelity data
+  (curriculum persistence, `trainingCode.py:80-84`), not part of the
+  observation math, and are only unpacked at reset boundaries.
 * The first-hit LIDAR scan folds far-to-near over the range slices so the
   nearest hit wins — no argmax gather.
 * The kernel emits the observation in component-major column order; a
@@ -76,11 +77,20 @@ _SC_COLLIDED = 8
 _SC_COLLISIONS = 9
 _SC_COLS = 16
 
-# Packed-cell field layout: entity(2) | clamped visits(4) | explored(1).
+# Packed-cell field layout:
+#   entity(2) | clamped visits(4) | explored(1) | raw visits(16)
+# Raw (unclamped) counts saturate at 65535 — they only feed curriculum
+# persistence (`trainingCode.py:80-84`), whose worst case is
+# max_episodes_per_maze(50) x max_steps(1000) = 50k < 2^16. The full packed
+# value stays < 2^23, so the f32 round-trip through the MXU probe gather is
+# exact (f32 is exact for integers < 2^24).
 _VIS_SHIFT = 2
 _EXPL_SHIFT = 6
+_RAW_SHIFT = 7
 _ENT_MASK = 3
 _VIS_MASK = 15 << _VIS_SHIFT
+_RAW_MAX = (1 << 16) - 1
+_RAW_MASK = _RAW_MAX << _RAW_SHIFT
 
 
 def _lane_pad(n: int) -> int:
@@ -93,12 +103,12 @@ class FlatEnvState:
 
     ``rolled`` is the packed world grid in rover-centric rotation:
     ``rolled[e, j]`` is the packed cell at flat index
-    ``(rover_flat[e] + j) mod L``. ``visits`` holds raw (unclamped) visit
-    counts in ordinary unrotated flat layout.
+    ``(rover_flat[e] + j) mod L`` — ONE int32 grid holds the entire world
+    (entity, clamped + raw visit counts, explored bit), so the kernel's
+    big-array HBM traffic is exactly one grid in and one grid out per step.
     """
 
     rolled: jnp.ndarray      # int32[B, L] — packed, rover at lane 0
-    visits: jnp.ndarray      # int32[B, L] — raw counts, unrotated
     scal: jnp.ndarray        # int32[B, 16]
     key: jnp.ndarray         # per-env PRNG key, [B, 2] uint32
 
@@ -114,19 +124,19 @@ def pack_state(state: EnvState, grid_size: int) -> FlatEnvState:
     B = state.rover.shape[0]
     L = _lane_pad(g * g)
 
+    raw = jnp.minimum(state.visit_counts.reshape(B, g * g), _RAW_MAX
+                      ).astype(jnp.int32)
     plants = state.plants.reshape(B, g * g).astype(jnp.int32)
     entity = jnp.where(state.obstacles.reshape(B, g * g),
                        ENTITY_OBSTACLE, plants + (plants > 0))
     packed = (entity
-              | (jnp.minimum(state.visit_counts.reshape(B, g * g), 10)
-                 << _VIS_SHIFT)
+              | (jnp.minimum(raw, 10) << _VIS_SHIFT)
               | (state.explored.reshape(B, g * g).astype(jnp.int32)
-                 << _EXPL_SHIFT))
+                 << _EXPL_SHIFT)
+              | (raw << _RAW_SHIFT))
     packed = jnp.pad(packed, ((0, 0), (0, L - g * g)))
     tidx = state.rover[:, 0] * g + state.rover[:, 1]
 
-    visits = jnp.pad(state.visit_counts.reshape(B, g * g).astype(jnp.int32),
-                     ((0, 0), (0, L - g * g)))
     scal = jnp.stack([
         state.rover[:, 0], state.rover[:, 1],
         state.step_count, state.explored_count, state.free_cells,
@@ -138,7 +148,6 @@ def pack_state(state: EnvState, grid_size: int) -> FlatEnvState:
     scal = jnp.pad(scal, ((0, 0), (0, _SC_COLS - scal.shape[1])))
     return FlatEnvState(
         rolled=_roll_rows(packed, tidx),
-        visits=visits,
         scal=scal,
         key=state.key,
     )
@@ -157,7 +166,7 @@ def unpack_state(flat: FlatEnvState, grid_size: int) -> EnvState:
         plants=jnp.where(entity >= ENTITY_PLANT_HYDRATED, entity - 1, 0)
                .astype(jnp.int8).reshape(B, g, g),
         rover=sc[:, _SC_RX:_SC_RY + 1],
-        visit_counts=flat.visits[:, : g * g].reshape(B, g, g),
+        visit_counts=((packed >> _RAW_SHIFT) & _RAW_MAX).reshape(B, g, g),
         explored=((packed >> _EXPL_SHIFT) & 1).astype(bool)
                  .reshape(B, g, g),
         explored_count=sc[:, _SC_EXPLORED],
@@ -172,20 +181,33 @@ def unpack_state(flat: FlatEnvState, grid_size: int) -> EnvState:
     )
 
 
+def raw_visits(flat: FlatEnvState, grid_size: int) -> jnp.ndarray:
+    """Raw (unclamped) visit counts in unrotated flat layout, [B, L].
+
+    Only called at reset boundaries (curriculum persistence); the hot path
+    never materializes this.
+    """
+    g = grid_size
+    tidx = flat.scal[:, _SC_RX] * g + flat.scal[:, _SC_RY]
+    return (_roll_rows(flat.rolled, -tidx) >> _RAW_SHIFT) & _RAW_MAX
+
+
 def repack_visits(flat: FlatEnvState, grid_size: int,
                   visits: jnp.ndarray) -> FlatEnvState:
-    """Replace raw visit counts AND their clamped in-grid mirrors.
+    """Replace both visit-count fields (raw + clamped mirror) in the grid.
 
     Used by the curriculum wrapper when it restores persistent visit
     counts across a maze-reuse reset (`trainingCode.py:80-84`).
+    ``visits`` is unrotated flat layout, [B, L] (or [B, >= g*g]).
     """
     g = grid_size
     L = flat.rolled.shape[1]
-    vbits = jnp.minimum(visits[:, : g * g].astype(jnp.int32), 10) << _VIS_SHIFT
+    raw = jnp.minimum(visits[:, : g * g].astype(jnp.int32), _RAW_MAX)
+    vbits = (jnp.minimum(raw, 10) << _VIS_SHIFT) | (raw << _RAW_SHIFT)
     vbits = jnp.pad(vbits, ((0, 0), (0, L - g * g)))
     tidx = flat.scal[:, _SC_RX] * g + flat.scal[:, _SC_RY]
-    rolled = (flat.rolled & ~_VIS_MASK) | _roll_rows(vbits, tidx)
-    return flat.replace(visits=visits, rolled=rolled)
+    rolled = (flat.rolled & ~(_VIS_MASK | _RAW_MASK)) | _roll_rows(vbits, tidx)
+    return flat.replace(rolled=rolled)
 
 
 @functools.lru_cache(maxsize=None)
@@ -267,13 +289,11 @@ def build_fused_step(config: EnvConfig, num_envs: int,
     perm = _obs_permutation(config)
     OBS_PAD = _lane_pad(config.obs_dim)
 
-    def kernel(rolled_ref, visits_ref, scal_ref, action_ref,
+    def kernel(rolled_ref, scal_ref, action_ref,
                pdx_ref, pdy_ref, vdx_ref, vdy_ref, sel_ref,
-               rolled_out, visits_out, scal_out,
+               rolled_out, scal_out,
                obs_out, rew_out, flags_out):
-        lane = jax.lax.broadcasted_iota(jnp.int32, (Bb, L), 1)
         rolled = rolled_ref[:]                # int32[Bb, L], rover at lane 0
-        visits = visits_ref[:]                # int32[Bb, L], raw, unrotated
         sc = scal_ref[:]
 
         def rot(x, d):
@@ -310,7 +330,6 @@ def build_fused_step(config: EnvConfig, num_envs: int,
         invalid_move = is_move & ~valid
         tx = jnp.where(valid, npx, rx)
         ty = jnp.where(valid, npy, ry)
-        tidx = tx * g + ty
         tcell = jnp.where(valid, cand, c0)    # target cell, pre-update
         vclamp_t = (tcell >> _VIS_SHIFT) & 15
         never_visited = vclamp_t == 0
@@ -335,17 +354,18 @@ def build_fused_step(config: EnvConfig, num_envs: int,
                        jnp.where(mdy == 1, rot(r1, 1), r1))
 
         # --- all updates land on static lane 0 (the new rover cell):
-        # saturating visit increment, explored bit, watering 3 -> 2.
-        # Field arithmetic never carries: visits stay <= 10 (< 16) and the
-        # watering decrement only fires when the entity field is 3.
-        inc = jnp.where(valid & (vclamp_t < 10),
-                        jnp.int32(1 << _VIS_SHIFT), 0)
+        # saturating visit increments (clamped mirror at 10, raw at 2^16-1),
+        # explored bit, watering 3 -> 2. Field arithmetic never carries:
+        # both counters saturate below their field width and the watering
+        # decrement only fires when the entity field is 3.
+        raw_t = (tcell >> _RAW_SHIFT) & _RAW_MAX
+        inc = (jnp.where(valid & (vclamp_t < 10),
+                         jnp.int32(1 << _VIS_SHIFT), 0)
+               + jnp.where(valid & (raw_t < _RAW_MAX),
+                           jnp.int32(1 << _RAW_SHIFT), 0))
         dec = jnp.where(do_water, jnp.int32(1), 0)
         col0 = (tcell + inc - dec) | (1 << _EXPL_SHIFT)
         new_rolled = jnp.concatenate([col0, r2[:, 1:]], axis=1)
-
-        # --- raw visit counts (unrotated; state fidelity only) ---
-        new_visits = visits + ((lane == tidx) & valid).astype(jnp.int32)
 
         # --- reward & termination (`plantos_env_new.py:162-195`) ---
         move_reward = jnp.where(
@@ -407,7 +427,6 @@ def build_fused_step(config: EnvConfig, num_envs: int,
 
         # --- writebacks ---
         rolled_out[:] = new_rolled
-        visits_out[:] = new_visits
         zeros = jnp.zeros_like(tx)
         scal_out[:] = jnp.concatenate([
             tx, ty, step_count, explored_count, free_cells,
@@ -444,15 +463,14 @@ def build_fused_step(config: EnvConfig, num_envs: int,
         kernel,
         compiler_params=compiler_params,
         grid=(n_blocks,),
-        in_specs=[spec(L), spec(L), spec(_SC_COLS),
+        in_specs=[spec(L), spec(_SC_COLS),
                   spec(1), const_spec(Rr, C), const_spec(Rr, C),
                   const_spec(1, V), const_spec(1, V),
                   const_spec(L, PCOL)],
-        out_specs=[spec(L), spec(L), spec(_SC_COLS),
+        out_specs=[spec(L), spec(_SC_COLS),
                    spec(OBS_PAD), spec(1), spec(4)],
         out_shape=[
             jax.ShapeDtypeStruct((num_envs, L), jnp.int32),     # rolled
-            jax.ShapeDtypeStruct((num_envs, L), jnp.int32),     # visits
             jax.ShapeDtypeStruct((num_envs, _SC_COLS), jnp.int32),
             jax.ShapeDtypeStruct((num_envs, OBS_PAD), jnp.float32),
             jax.ShapeDtypeStruct((num_envs, 1), jnp.float32),   # reward
@@ -470,11 +488,10 @@ def build_fused_step(config: EnvConfig, num_envs: int,
 
     def step(flat: FlatEnvState, actions: jnp.ndarray):
         actions = actions.astype(jnp.int32).reshape(num_envs, 1)
-        rolled, visits, scal, obs_k, rew, flags = pallas_step(
-            flat.rolled, flat.visits, flat.scal, actions,
+        rolled, scal, obs_k, rew, flags = pallas_step(
+            flat.rolled, flat.scal, actions,
             pdx_j, pdy_j, vdx_j, vdy_j, sel_j)
-        new_flat = FlatEnvState(rolled=rolled, visits=visits, scal=scal,
-                                key=flat.key)
+        new_flat = FlatEnvState(rolled=rolled, scal=scal, key=flat.key)
         obs = jnp.take(obs_k, perm_j, axis=1)
         return (new_flat, obs, rew[:, 0], flags[:, 0].astype(bool),
                 flags[:, 1].astype(bool), flags[:, 2].astype(bool))

@@ -193,7 +193,7 @@ def test_fused_step_under_shard_map():
 
     np.testing.assert_array_equal(np.asarray(r_obs), np.asarray(s_obs))
     np.testing.assert_array_equal(np.asarray(r_rew), np.asarray(s_rew))
-    np.testing.assert_array_equal(np.asarray(r_flat.visits),
-                                  np.asarray(s_flat.visits))
+    np.testing.assert_array_equal(np.asarray(r_flat.rolled),
+                                  np.asarray(s_flat.rolled))
     np.testing.assert_array_equal(np.asarray(r_flat.scal),
                                   np.asarray(s_flat.scal))
