@@ -81,9 +81,10 @@ _SC_COLS = 16
 #   entity(2) | clamped visits(4) | explored(1) | raw visits(16)
 # Raw (unclamped) counts saturate at 65535 — they only feed curriculum
 # persistence (`trainingCode.py:80-84`), whose worst case is
-# max_episodes_per_maze(50) x max_steps(1000) = 50k < 2^16. The full packed
-# value stays < 2^23, so the f32 round-trip through the MXU probe gather is
-# exact (f32 is exact for integers < 2^24).
+# max_episodes_per_maze(50) x max_steps(1000) = 50k < 2^16. The raw bits
+# are masked off before the MXU probe gather (probe consumers only read
+# bits 0-5; masked cells <= 127 are exact in bf16 — the TPU MXU computes
+# at bf16 input precision, so unmasked cells would lose their low bits).
 _VIS_SHIFT = 2
 _EXPL_SHIFT = 6
 _RAW_SHIFT = 7
@@ -387,9 +388,15 @@ def build_fused_step(config: EnvConfig, num_envs: int,
 
         # --- observation on the POST-step state: all 121 probes are static
         # lanes of the re-aligned grid, gathered by ONE MXU matmul with the
-        # constant 0/1 selector (cell fields are 7 bits -> f32 is exact);
-        # wrapped lanes are OOB, masked below.
-        probes = jnp.dot(new_rolled.astype(jnp.float32), sel_ref[:],
+        # constant 0/1 selector. The raw-visit bits (7+) are masked off
+        # BEFORE the dot: probe consumers only read bits 0-5, and the TPU
+        # MXU computes f32 dots at bf16 input precision (8-bit significand)
+        # — full packed cells (up to 2^23) would corrupt the low bits on
+        # real hardware (interpret mode, being true f32, would not catch
+        # it). Masked cells are <= 127, exact in bf16, so the dot runs
+        # natively at bf16 MXU rate with an f32 accumulator.
+        probes = jnp.dot((new_rolled & 0x7F).astype(jnp.bfloat16),
+                         sel_ref[:].astype(jnp.bfloat16),
                          preferred_element_type=jnp.float32)
         probes = probes.astype(jnp.int32)                  # [Bb, PCOL]
 
