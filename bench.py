@@ -23,8 +23,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.2")
 
 BASELINE_STEPS_PER_SEC = 11_400.0   # BASELINE.md, derived from monitor CSVs
 NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 4096))
-CHUNK = int(os.environ.get("BENCH_CHUNK", 256))   # env steps per device call
-CHUNKS_TIMED = 8     # timed device calls
+CHUNK = int(os.environ.get("BENCH_CHUNK", 250))   # env steps per device call
+CHUNKS_TIMED = int(os.environ.get("BENCH_CHUNKS", 32))  # timed device calls
 WARMUP_CHUNKS = 2
 
 
@@ -36,10 +36,14 @@ def main() -> None:
     from rlenv_tpu.env.vector import VecPlantOS
 
     env = PlantOS(EnvConfig.training())
-    if os.environ.get("BENCH_FUSED", "1") == "1":
-        # Fused Pallas step-kernel path (rlenv_tpu/ops/fused_step.py) — the
-        # default and fastest: 15.1M steps/s @ 4096 envs vs 12.4M for the
-        # XLA path (one TPU v5e chip). BENCH_FUSED=0 forces the XLA path.
+    fused = os.environ.get("BENCH_FUSED", "1") == "1"
+    chunked = fused and os.environ.get("BENCH_ROLLOUT", "1") == "1"
+    if fused:
+        # Fused Pallas kernel path (rlenv_tpu/ops/fused_step.py) — the
+        # default and fastest. BENCH_ROLLOUT=1 (default) runs CHUNK env
+        # steps per Pallas program with the world grid resident on-chip
+        # (build_fused_rollout); BENCH_ROLLOUT=0 launches one program per
+        # step; BENCH_FUSED=0 forces the pure-XLA path.
         from rlenv_tpu.env.fused_vector import FusedVecPlantOS
         venv = FusedVecPlantOS(env, NUM_ENVS,
                                block_envs=int(os.environ.get("BENCH_BLOCK",
@@ -47,30 +51,50 @@ def main() -> None:
     else:
         venv = VecPlantOS(env, NUM_ENVS)
 
-    @jax.jit
-    def rollout_chunk(states, key):
-        def body(carry, _):
-            states, key = carry
-            key, k_act = jax.random.split(key)
-            actions = jax.random.randint(k_act, (NUM_ENVS,), 0, 5)
-            states, _, reward, _, _, _ = venv.step(states, actions)
-            return (states, key), reward.sum()
+    if chunked:
+        # CHUNK divides max_steps (1000), so episode boundaries land
+        # exactly on chunk boundaries and the chunked trajectory is
+        # bit-identical to the per-step path (tests/test_ops_fused.py).
+        assert env.config.max_steps % CHUNK == 0, \
+            "BENCH_CHUNK must divide max_steps for per-step-exact chunks"
 
-        (states, key), rewards = jax.lax.scan(body, (states, key), None,
-                                              length=CHUNK)
-        return states, key, rewards.sum()
+        @jax.jit
+        def rollout_chunk(states, key):
+            key, k_act = jax.random.split(key)
+            actions = jax.random.randint(k_act, (CHUNK, NUM_ENVS), 0, 5)
+            states, _, traj = venv.rollout(states, actions)
+            return states, key, traj["rewards"].sum()
+    else:
+        @jax.jit
+        def rollout_chunk(states, key):
+            def body(carry, _):
+                states, key = carry
+                key, k_act = jax.random.split(key)
+                actions = jax.random.randint(k_act, (NUM_ENVS,), 0, 5)
+                states, _, reward, _, _, _ = venv.step(states, actions)
+                return (states, key), reward.sum()
+
+            (states, key), rewards = jax.lax.scan(body, (states, key), None,
+                                                  length=CHUNK)
+            return states, key, rewards.sum()
 
     key = jax.random.PRNGKey(0)
     states, _, _ = venv.reset(key)
 
+    # Sync via an explicit device->host transfer: through the remote-TPU
+    # tunnel, block_until_ready can return before single-launch programs
+    # actually finish, which inflates throughput by orders of magnitude.
+    # The timed region dispatches CHUNKS_TIMED chained chunks and pays ONE
+    # round-trip at the end (~30 ms on this tunnel), so CHUNKS_TIMED is
+    # sized to amortize it to a few percent.
     for _ in range(WARMUP_CHUNKS):
         states, key, acc = rollout_chunk(states, key)
-    jax.block_until_ready(acc)
+    float(acc)
 
     t0 = time.perf_counter()
     for _ in range(CHUNKS_TIMED):
         states, key, acc = rollout_chunk(states, key)
-    jax.block_until_ready(acc)
+    float(acc)
     elapsed = time.perf_counter() - t0
 
     steps = NUM_ENVS * CHUNK * CHUNKS_TIMED

@@ -18,7 +18,8 @@ from rlenv_tpu.config import CurriculumConfig
 from rlenv_tpu.env.core import PlantOS
 from rlenv_tpu.env.curriculum import CurriculumVecPlantOS
 from rlenv_tpu.env.vector import _select
-from rlenv_tpu.ops.fused_step import (FlatEnvState, build_fused_step,
+from rlenv_tpu.ops.fused_step import (FlatEnvState, build_fused_rollout,
+                                      build_fused_step, chunk_done,
                                       pack_state, raw_visits, repack_visits)
 
 
@@ -62,9 +63,12 @@ class FusedVecPlantOS:
         self.num_envs = num_envs
         self._g = env.config.grid_size
         self._v_reset = jax.vmap(env.reset)
+        self._block_envs = block_envs
+        self._interpret = interpret
         self._fused = build_fused_step(env.config, num_envs,
                                        block_envs=block_envs,
                                        interpret=interpret)
+        self._rollouts: Dict[int, object] = {}
 
     @property
     def obs_dim(self) -> int:
@@ -100,6 +104,50 @@ class FusedVecPlantOS:
         info["final_obs"] = obs
         info["done"] = done
         return new_flat, new_obs, rewards, term, trunc, info
+
+    def rollout(self, flat: FlatEnvState, actions: jnp.ndarray
+                ) -> Tuple[FlatEnvState, jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Run ``actions.shape[0]`` env steps as ONE Pallas program.
+
+        ``actions`` is int32[K, num_envs] (time-major). Returns
+        ``(flat', next_obs, traj)`` where ``next_obs`` is the [B, obs_dim]
+        observation the NEXT chunk starts from (post-reset for envs that
+        finished) and ``traj`` holds the time-major per-step outputs:
+        ``obs`` [K, B, obs_dim], ``rewards``/``terminated``/``truncated``/
+        ``is_watering`` [K, B].
+
+        The world grid stays resident on-chip for the whole chunk (it
+        crosses HBM once per chunk instead of twice per step). Envs whose
+        episode ends mid-chunk freeze (zero reward/obs, latched done) and
+        are auto-reset here at the chunk boundary; when dones land on the
+        chunk's final step — always true for truncation when K divides
+        ``max_steps`` — the trajectory is bit-identical to per-step
+        :meth:`step`.
+        """
+        K = actions.shape[0]
+        if K not in self._rollouts:
+            self._rollouts[K] = build_fused_rollout(
+                self.env.config, self.num_envs, K,
+                block_envs=self._block_envs, interpret=self._interpret)
+        flat, obs_seq, rewards, term, trunc, water = self._rollouts[K](
+            flat, actions)
+        need = chunk_done(flat)
+        last_obs = obs_seq[-1]
+
+        def do_resets(args):
+            flat, last_obs = args
+            reset_states, reset_obs, _ = self._v_reset(flat.key)
+            reset_flat = pack_state(reset_states, self._g)
+            # reset_flat's done column is zero by construction
+            # (pack_state zero-pads scal), so selecting it clears the latch.
+            return (_select(need, reset_flat, flat),
+                    jnp.where(need[:, None], reset_obs, last_obs))
+
+        flat, next_obs = jax.lax.cond(
+            jnp.any(need), do_resets, lambda args: args, (flat, last_obs))
+        traj = {"obs": obs_seq, "rewards": rewards, "terminated": term,
+                "truncated": trunc, "is_watering": water, "done_mask": need}
+        return flat, next_obs, traj
 
 
 class FusedCurriculumVecPlantOS(CurriculumVecPlantOS):

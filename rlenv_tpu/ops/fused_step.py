@@ -44,8 +44,25 @@ Python loops, `/root/reference/gradio-app/plantos_env_new.py:162-330`):
   static column permutation outside the kernel produces the reference's
   channel-major layout (`plantos_env_new.py:272-330`).
 
+Two kernels share the same transition body:
+
+* :func:`build_fused_step` — one transition per ``pallas_call`` (the
+  training hot path, where each step's actions come from the policy).
+* :func:`build_fused_rollout` — ``horizon`` transitions per
+  ``pallas_call`` over a ``(env_blocks, horizon)`` grid whose minor
+  dimension is the TIME STEP: the packed world grid rides in the
+  resident output block across all ``horizon`` steps, so it crosses HBM
+  once per CHUNK instead of twice per step, while per-step observations /
+  rewards / flags stream out through the normal output pipeline. Envs
+  that finish mid-chunk FREEZE (zero reward, latched ``done`` scalar)
+  until the wrapper resets them at the chunk boundary — bit-identical to
+  the per-step path whenever episodes end on chunk boundaries (always
+  true when ``horizon`` divides ``max_steps`` and termination does not
+  fire mid-chunk).
+
 Exact-parity with the XLA path is asserted by ``tests/test_ops_fused.py``
-(interpret mode on CPU, bit-identical obs/reward/state).
+(interpret mode on CPU, bit-identical obs/reward/state) and on real
+hardware by ``scripts/tpu_parity_check.py``.
 """
 
 from __future__ import annotations
@@ -75,6 +92,7 @@ _SC_TOTAL_PLANTS = 6
 _SC_BONUS = 7
 _SC_COLLIDED = 8
 _SC_COLLISIONS = 9
+_SC_DONE = 10        # rollout-kernel latch: env finished inside the chunk
 _SC_COLS = 16
 
 # Packed-cell field layout:
@@ -218,11 +236,11 @@ def _probe_selector(channels: int, lidar_range: int, visit_map_size: int,
 
     With the rover on lane 0, the probe at relative offset (dx, dy) lives
     at static lane ``(dx*g + dy) mod L`` — so gathering ALL probes is one
-    MXU matmul ``rolled_f32 @ SEL`` with a CONSTANT selector. Columns are
+    MXU matmul ``rolled_bf16 @ SEL`` with a CONSTANT selector. Columns are
     laid out so each consumer reads an aligned contiguous slice:
     ``[r*C, (r+1)*C)`` = LIDAR range slice r+1 (range-major for the
-    first-hit fold), ``[R*C, R*C+V)`` = the visit window. Packed cell
-    values fit in 7 bits, so the f32 round-trip is exact.
+    first-hit fold), ``[R*C, R*C+V)`` = the visit window. Cell values are
+    masked to 7 bits before the dot, so the bf16 MXU pass is exact.
     """
     lid = lidar_offsets(channels, lidar_range)          # [C, R, 2]
     vis = visit_map_offsets(visit_map_size)             # [V, 2]
@@ -260,16 +278,15 @@ def _obs_permutation(config: EnvConfig) -> np.ndarray:
     return perm
 
 
-def build_fused_step(config: EnvConfig, num_envs: int,
-                     block_envs: int = 128, interpret: bool = False):
-    """Returns ``step(flat_state, actions) -> (flat_state', obs, reward,
-    terminated, truncated, is_watering)`` running as one Pallas program.
+def _make_transition(config: EnvConfig, Bb: int):
+    """Shared per-step transition body operating on kernel-resident values.
 
-    ``obs`` comes back in the reference's channel-major layout; all outputs
-    are bit-identical to the XLA path in :mod:`rlenv_tpu.env.core`.
+    Returns ``transition(rolled, sc, a, pdx, pdy, vdx, vdy, sel) ->
+    (new_rolled, new_sc, obs, reward, terminated, truncated, is_watering)``
+    with ``rolled`` int32[Bb, L] (rover-centric), ``sc`` int32[Bb, 16],
+    ``a`` int32[Bb, 1]; obs is [Bb, OBS_PAD] in kernel column order,
+    reward/terminated/truncated/is_watering are [Bb, 1].
     """
-    from jax.experimental import pallas as pl
-
     g = config.grid_size
     C = config.lidar_channels
     Rr = config.lidar_range
@@ -277,26 +294,9 @@ def build_fused_step(config: EnvConfig, num_envs: int,
     L = _lane_pad(g * g)
     R = config.rewards
     max_steps = config.max_steps
-
-    while num_envs % block_envs != 0 or block_envs > num_envs:
-        block_envs //= 2
-    if block_envs < 1:
-        raise ValueError(f"num_envs={num_envs} not blockable")
-    Bb = block_envs
-    n_blocks = num_envs // Bb
-
-    lid, vis, sel_np = _probe_selector(C, Rr, config.visit_map_size, g, L)
-    PCOL = sel_np.shape[1]
-    perm = _obs_permutation(config)
     OBS_PAD = _lane_pad(config.obs_dim)
 
-    def kernel(rolled_ref, scal_ref, action_ref,
-               pdx_ref, pdy_ref, vdx_ref, vdy_ref, sel_ref,
-               rolled_out, scal_out,
-               obs_out, rew_out, flags_out):
-        rolled = rolled_ref[:]                # int32[Bb, L], rover at lane 0
-        sc = scal_ref[:]
-
+    def transition(rolled, sc, a, pdx_all, pdy_all, vdx, vdy, sel):
         def rot(x, d):
             """Static left-rotate by d cells: out[j] = x[(j + d) % L]."""
             d %= L
@@ -310,7 +310,6 @@ def build_fused_step(config: EnvConfig, num_envs: int,
 
         rx = sc[:, _SC_RX:_SC_RX + 1]
         ry = sc[:, _SC_RY:_SC_RY + 1]
-        a = action_ref[:]                     # [Bb, 1]
         is_move = a < 4
 
         # --- movement (`plantos_env_new.py:197-234`) ---
@@ -396,7 +395,7 @@ def build_fused_step(config: EnvConfig, num_envs: int,
         # it). Masked cells are <= 127, exact in bf16, so the dot runs
         # natively at bf16 MXU rate with an f32 accumulator.
         probes = jnp.dot((new_rolled & 0x7F).astype(jnp.bfloat16),
-                         sel_ref[:].astype(jnp.bfloat16),
+                         sel.astype(jnp.bfloat16),
                          preferred_element_type=jnp.float32)
         probes = probes.astype(jnp.int32)                  # [Bb, PCOL]
 
@@ -404,8 +403,8 @@ def build_fused_step(config: EnvConfig, num_envs: int,
         dist = jnp.full((Bb, C), Rr, jnp.int32)
         etype = jnp.zeros((Bb, C), jnp.int32)
         for r in range(Rr - 1, -1, -1):
-            pdx = pdx_ref[r:r + 1, :]                      # [1, C]
-            pdy = pdy_ref[r:r + 1, :]
+            pdx = pdx_all[r:r + 1, :]                      # [1, C]
+            pdy = pdy_all[r:r + 1, :]
             px, py = tx + pdx, ty + pdy
             oob = (px < 0) | (px >= g) | (py < 0) | (py >= g)
             ev = probes[:, r * C:(r + 1) * C] & _ENT_MASK  # [Bb, C]
@@ -415,12 +414,12 @@ def build_fused_step(config: EnvConfig, num_envs: int,
             etype = jnp.where(hit, val, etype)
 
         # Visit window (`plantos_env_new.py:317-328`): OOB reads 1.0.
-        vx, vy = tx + vdx_ref[:], ty + vdy_ref[:]          # [Bb, V]
+        vx, vy = tx + vdx, ty + vdy                        # [Bb, V]
         v_oob = (vx < 0) | (vx >= g) | (vy < 0) | (vy >= g)
         vcounts = (probes[:, Rr * C:Rr * C + V] >> _VIS_SHIFT) & 15
         visit_map = jnp.where(v_oob, 1.0, vcounts.astype(jnp.float32) / 10.0)
 
-        obs_out[:] = jnp.concatenate([
+        obs = jnp.concatenate([
             dist.astype(jnp.float32) / Rr,                 # [Bb, C]
             (etype == 0).astype(jnp.float32),
             (etype == 1).astype(jnp.float32),
@@ -432,10 +431,8 @@ def build_fused_step(config: EnvConfig, num_envs: int,
             jnp.zeros((Bb, OBS_PAD - (5 * C + 2 + V)), jnp.float32),
         ], axis=1)                                         # [Bb, OBS_PAD]
 
-        # --- writebacks ---
-        rolled_out[:] = new_rolled
         zeros = jnp.zeros_like(tx)
-        scal_out[:] = jnp.concatenate([
+        new_sc = jnp.concatenate([
             tx, ty, step_count, explored_count, free_cells,
             sc[:, _SC_THIRSTY:_SC_THIRSTY + 1] - do_water.astype(jnp.int32),
             sc[:, _SC_TOTAL_PLANTS:_SC_TOTAL_PLANTS + 1],
@@ -445,10 +442,61 @@ def build_fused_step(config: EnvConfig, num_envs: int,
             sc[:, _SC_COLLISIONS:_SC_COLLISIONS + 1]
             + invalid_move.astype(jnp.int32),
         ] + [zeros] * (_SC_COLS - 10), axis=1)
-        rew_out[:] = reward.astype(jnp.float32)
+
+        return (new_rolled, new_sc, obs, reward.astype(jnp.float32),
+                terminated, truncated, ~is_move)
+
+    return transition
+
+
+def _block_envs_for(num_envs: int, block_envs: int) -> int:
+    while num_envs % block_envs != 0 or block_envs > num_envs:
+        block_envs //= 2
+    if block_envs < 1:
+        raise ValueError(f"num_envs={num_envs} not blockable")
+    return block_envs
+
+
+def build_fused_step(config: EnvConfig, num_envs: int,
+                     block_envs: int = 128, interpret: bool = False):
+    """Returns ``step(flat_state, actions) -> (flat_state', obs, reward,
+    terminated, truncated, is_watering)`` running as one Pallas program.
+
+    ``obs`` comes back in the reference's channel-major layout; all outputs
+    are bit-identical to the XLA path in :mod:`rlenv_tpu.env.core`.
+    """
+    from jax.experimental import pallas as pl
+
+    g = config.grid_size
+    C = config.lidar_channels
+    Rr = config.lidar_range
+    V = config.visit_map_size ** 2
+    L = _lane_pad(g * g)
+
+    Bb = _block_envs_for(num_envs, block_envs)
+    n_blocks = num_envs // Bb
+
+    lid, vis, sel_np = _probe_selector(C, Rr, config.visit_map_size, g, L)
+    PCOL = sel_np.shape[1]
+    perm = _obs_permutation(config)
+    OBS_PAD = _lane_pad(config.obs_dim)
+    transition = _make_transition(config, Bb)
+
+    def kernel(rolled_ref, scal_ref, action_ref,
+               pdx_ref, pdy_ref, vdx_ref, vdy_ref, sel_ref,
+               rolled_out, scal_out,
+               obs_out, rew_out, flags_out):
+        new_rolled, new_sc, obs, reward, term, trunc, is_water = transition(
+            rolled_ref[:], scal_ref[:], action_ref[:],
+            pdx_ref[:], pdy_ref[:], vdx_ref[:], vdy_ref[:], sel_ref[:])
+        rolled_out[:] = new_rolled
+        scal_out[:] = new_sc
+        obs_out[:] = obs
+        rew_out[:] = reward
         flags_out[:] = jnp.concatenate([
-            terminated.astype(jnp.int32), truncated.astype(jnp.int32),
-            (~is_move).astype(jnp.int32), zeros], axis=1)
+            term.astype(jnp.int32), trunc.astype(jnp.int32),
+            is_water.astype(jnp.int32),
+            jnp.zeros((Bb, 1), jnp.int32)], axis=1)
 
     def spec(cols):
         return pl.BlockSpec((Bb, cols), lambda i: (i, 0))
@@ -456,8 +504,6 @@ def build_fused_step(config: EnvConfig, num_envs: int,
     def const_spec(rows, cols):
         return pl.BlockSpec((rows, cols), lambda i: (0, 0))
 
-    # Allow bigger env blocks than the default 16 MiB scoped-vmem budget
-    # permits (the chip has 128 MiB of VMEM).
     if interpret:
         compiler_params = None
     else:
@@ -504,3 +550,152 @@ def build_fused_step(config: EnvConfig, num_envs: int,
                 flags[:, 1].astype(bool), flags[:, 2].astype(bool))
 
     return step
+
+
+def build_fused_rollout(config: EnvConfig, num_envs: int, horizon: int,
+                        block_envs: int = 256, interpret: bool = False):
+    """``horizon`` fused env transitions per Pallas program.
+
+    Returns ``rollout(flat, actions) -> (flat', obs, reward, terminated,
+    truncated, is_watering)`` where ``actions`` is int32[horizon, B] and
+    the outputs are time-major: obs [horizon, B, obs_dim] (channel-major
+    reference layout), the rest [horizon, B].
+
+    Grid is ``(env_blocks, horizon)`` — horizon is the MINOR dimension, so
+    grid steps over time run back-to-back on the same resident env block:
+    the packed world grid and scalars live in the (revisited) output
+    blocks for all ``horizon`` steps and cross HBM once per chunk, while
+    per-step obs/reward/flags stream through the output pipeline and the
+    per-step action columns through the input pipeline.
+
+    Mid-chunk ``done`` envs FREEZE: state stops changing, rewards are 0,
+    flags are 0, obs is 0, and scal column ``_SC_DONE`` latches so the
+    caller can reset them at the chunk boundary. Whenever dones only occur
+    on the final step of a chunk (guaranteed for truncation when
+    ``horizon`` divides ``max_steps``), the trajectory is bit-identical to
+    iterating :func:`build_fused_step`.
+    """
+    from jax.experimental import pallas as pl
+
+    g = config.grid_size
+    C = config.lidar_channels
+    Rr = config.lidar_range
+    V = config.visit_map_size ** 2
+    L = _lane_pad(g * g)
+    K = int(horizon)
+
+    Bb = _block_envs_for(num_envs, block_envs)
+    n_blocks = num_envs // Bb
+
+    lid, vis, sel_np = _probe_selector(C, Rr, config.visit_map_size, g, L)
+    PCOL = sel_np.shape[1]
+    perm = _obs_permutation(config)
+    OBS_PAD = _lane_pad(config.obs_dim)
+    transition = _make_transition(config, Bb)
+
+    def kernel(rolled_ref, scal_ref, action_ref,
+               pdx_ref, pdy_ref, vdx_ref, vdy_ref, sel_ref,
+               rolled_out, scal_out,
+               obs_out, rew_out, flags_out):
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _load():
+            rolled_out[:] = rolled_ref[:]
+            scal_out[:] = scal_ref[:]
+
+        rolled = rolled_out[:]
+        sc = scal_out[:]
+        a = action_ref[0]                                  # [Bb, 1]
+
+        new_rolled, new_sc, obs, reward, term, trunc, is_water = transition(
+            rolled, sc, a,
+            pdx_ref[:], pdy_ref[:], vdx_ref[:], vdy_ref[:], sel_ref[:])
+
+        # Freeze envs whose episode already ended inside this chunk.
+        done_prev = sc[:, _SC_DONE:_SC_DONE + 1] > 0
+        new_rolled = jnp.where(done_prev, rolled, new_rolled)
+        new_sc = jnp.where(done_prev, sc, new_sc)
+        reward = jnp.where(done_prev, 0.0, reward)
+        term = term & ~done_prev
+        trunc = trunc & ~done_prev
+        is_water = is_water & ~done_prev
+        obs = jnp.where(done_prev, 0.0, obs)
+        done_now = (done_prev | term | trunc).astype(jnp.int32)
+        new_sc = jnp.concatenate([
+            new_sc[:, :_SC_DONE], done_now,
+            new_sc[:, _SC_DONE + 1:]], axis=1)
+
+        rolled_out[:] = new_rolled
+        scal_out[:] = new_sc
+        obs_out[:] = obs[None]
+        rew_out[:] = reward[None]
+        flags_out[:] = jnp.concatenate([
+            term.astype(jnp.int32), trunc.astype(jnp.int32),
+            is_water.astype(jnp.int32),
+            jnp.zeros((Bb, 1), jnp.int32)], axis=1)[None]
+
+    def state_spec(cols):
+        return pl.BlockSpec((Bb, cols), lambda i, k: (i, 0))
+
+    def const_spec(rows, cols):
+        return pl.BlockSpec((rows, cols), lambda i, k: (0, 0))
+
+    def time_spec(cols):
+        return pl.BlockSpec((1, Bb, cols), lambda i, k: (k, i, 0))
+
+    if interpret:
+        compiler_params = None
+    else:
+        from jax.experimental.pallas import tpu as pltpu
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024)
+
+    pallas_rollout = pl.pallas_call(
+        kernel,
+        compiler_params=compiler_params,
+        grid=(n_blocks, K),
+        in_specs=[state_spec(L), state_spec(_SC_COLS),
+                  # step k's actions, streamed per grid step (Mosaic
+                  # cannot dynamically slice the lane dim, so the actions
+                  # ride the input pipeline instead of staying resident)
+                  time_spec(1),
+                  const_spec(Rr, C), const_spec(Rr, C),
+                  const_spec(1, V), const_spec(1, V),
+                  const_spec(L, PCOL)],
+        out_specs=[state_spec(L), state_spec(_SC_COLS),
+                   time_spec(OBS_PAD), time_spec(1), time_spec(4)],
+        out_shape=[
+            jax.ShapeDtypeStruct((num_envs, L), jnp.int32),     # rolled
+            jax.ShapeDtypeStruct((num_envs, _SC_COLS), jnp.int32),
+            jax.ShapeDtypeStruct((K, num_envs, OBS_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((K, num_envs, 1), jnp.float32),
+            jax.ShapeDtypeStruct((K, num_envs, 4), jnp.int32),  # flags
+        ],
+        interpret=interpret,
+    )
+
+    perm_j = jnp.asarray(perm)
+    pdx_j = jnp.asarray(lid[:, :, 0].T.copy())             # [R, C]
+    pdy_j = jnp.asarray(lid[:, :, 1].T.copy())
+    vdx_j = jnp.asarray(vis[:, 0][None, :].copy())         # [1, V]
+    vdy_j = jnp.asarray(vis[:, 1][None, :].copy())
+    sel_j = jnp.asarray(sel_np)                            # [L, PCOL]
+
+    def rollout(flat: FlatEnvState, actions: jnp.ndarray):
+        actions = actions.astype(jnp.int32).reshape(K, num_envs, 1)
+        rolled, scal, obs_k, rew, flags = pallas_rollout(
+            flat.rolled, flat.scal, actions,
+            pdx_j, pdy_j, vdx_j, vdy_j, sel_j)
+        new_flat = FlatEnvState(rolled=rolled, scal=scal, key=flat.key)
+        obs = jnp.take(obs_k, perm_j, axis=2)
+        return (new_flat, obs, rew[:, :, 0], flags[:, :, 0].astype(bool),
+                flags[:, :, 1].astype(bool), flags[:, :, 2].astype(bool))
+
+    return rollout
+
+
+def chunk_done(flat: FlatEnvState) -> jnp.ndarray:
+    """Per-env latched-done flags after a :func:`build_fused_rollout` chunk."""
+    return flat.scal[:, _SC_DONE] > 0

@@ -153,6 +153,68 @@ def test_fused_curriculum_parity():
             np.asarray(fus_c.episodes_on_maze))
 
 
+def test_fused_rollout_matches_per_step(envs):
+    """A K-step chunk (build_fused_rollout) is bit-identical to K iterated
+    per-step fused calls when dones land on the chunk boundary, and the
+    wrapper's chunk-end auto-reset matches the per-step auto-reset."""
+    _, fenv = envs
+    K = 8  # divides max_steps=40: truncation lands on a chunk boundary
+    flat0, _, _ = fenv.reset(jax.random.PRNGKey(9))
+    rng = np.random.default_rng(3)
+    actions = jnp.asarray(rng.integers(0, 5, size=(K, N_ENVS)), jnp.int32)
+
+    flat = flat0
+    per = {"obs": [], "rewards": [], "terminated": [], "truncated": [],
+           "is_watering": []}
+    for k in range(K):
+        flat, next_obs, r, te, tr, info = fenv.step(flat, actions[k])
+        per["obs"].append(info["final_obs"])
+        per["rewards"].append(r)
+        per["terminated"].append(te)
+        per["truncated"].append(tr)
+        per["is_watering"].append(info["is_watering"])
+
+    flat_c, next_obs_c, traj = fenv.rollout(flat0, actions)
+    for k, v in per.items():
+        np.testing.assert_array_equal(
+            np.stack([np.asarray(x) for x in v]), np.asarray(traj[k]),
+            err_msg=k)
+    np.testing.assert_array_equal(np.asarray(next_obs),
+                                  np.asarray(next_obs_c))
+    np.testing.assert_array_equal(np.asarray(flat.rolled),
+                                  np.asarray(flat_c.rolled))
+    np.testing.assert_array_equal(np.asarray(flat.scal),
+                                  np.asarray(flat_c.scal))
+
+
+def test_fused_rollout_freeze_and_chunk_reset(envs):
+    """Envs whose episode ends mid-chunk freeze (zero reward/flags) until
+    the wrapper resets them at the chunk boundary."""
+    _, fenv = envs
+    K = 6
+    flat, _, _ = fenv.reset(jax.random.PRNGKey(2))
+    # Burn down to 3 steps before truncation (max_steps=40) without
+    # triggering dones: watering in place never ends an episode.
+    water = jnp.full((N_ENVS,), 4, jnp.int32)
+    for _ in range(37):
+        flat, *_ = fenv.step(flat, water)
+
+    actions = jnp.asarray(
+        np.random.default_rng(0).integers(0, 5, size=(K, N_ENVS)), jnp.int32)
+    flat2, next_obs, traj = fenv.rollout(flat, actions)
+    trunc = np.asarray(traj["truncated"])
+    assert trunc[2].all(), "all envs truncate at step 40 (k=2)"
+    assert not trunc[3:].any(), "no flags after the latch"
+    assert (np.asarray(traj["rewards"])[3:] == 0).all(), "frozen rewards"
+    assert (np.asarray(traj["obs"])[3:] == 0).all(), "frozen obs"
+    assert np.asarray(traj["done_mask"]).all()
+    # Chunk-end reset: fresh episodes (step_count 0, done latch cleared).
+    assert (np.asarray(flat2.scal[:, 2]) == 0).all()
+    from rlenv_tpu.ops.fused_step import chunk_done
+    assert not np.asarray(chunk_done(flat2)).any()
+    assert np.isfinite(np.asarray(next_obs)).all()
+
+
 def test_fused_step_under_shard_map():
     """The fused kernel composes with shard_map over the 'data' mesh axis
     (multi-chip env sharding): per-device blocks produce the same results
