@@ -449,6 +449,174 @@ def _make_transition(config: EnvConfig, Bb: int):
     return transition
 
 
+def _make_transition_t(config: EnvConfig, Bb: int):
+    """Transposed-layout transition for the chunked rollout kernel.
+
+    Same math as :func:`_make_transition`, but with ENVS ON THE LANE
+    DIMENSION: ``rolled`` int32[L, Bb] (grid cells on sublanes), ``sc``
+    int32[_SC_COLS, Bb], ``a`` int32[1, Bb]. Why: in the [Bb, L] layout
+    every per-env scalar op works on a [Bb, 1] column — 1/128 lane
+    utilization, and the transition does ~40 of them per step, which
+    ablates to a third of the whole kernel's time. Transposed, those same
+    ops are [1, Bb] lane-vectors (2 vregs each); the full-grid rotation /
+    select passes cost the same in either layout (sublane shifts instead
+    of lane shifts), and the probe gather becomes ``sel_T @ grid``
+    (contraction over sublanes), still one MXU matmul.
+
+    Constants come transposed too: ``pdx/pdy`` [C, R], ``vdx/vdy``
+    [V, 1], ``sel`` [PCOL, L]. Returns obs [OBS_PAD, Bb] and per-env
+    outputs [1, Bb].
+    """
+    g = config.grid_size
+    C = config.lidar_channels
+    Rr = config.lidar_range
+    V = config.visit_map_size ** 2
+    L = _lane_pad(g * g)
+    R = config.rewards
+    max_steps = config.max_steps
+    OBS_PAD = _lane_pad(config.obs_dim)
+
+    def transition(rolled, sc, a, pdx_all, pdy_all, vdx, vdy, sel):
+        def rot(x, d):
+            """Static up-rotate by d cells: out[j] = x[(j + d) % L]."""
+            d %= L
+            if d == 0:
+                return x
+            return jnp.concatenate([x[d:], x[:d]], axis=0)
+
+        def cell_row(x, l):
+            l = int(l) % L
+            return x[l:l + 1, :]
+
+        rx = sc[_SC_RX:_SC_RX + 1, :]
+        ry = sc[_SC_RY:_SC_RY + 1, :]
+        is_move = a < 4
+
+        # --- movement (`plantos_env_new.py:197-234`) ---
+        dx = jnp.where(a == 0, -1, 0) + jnp.where(a == 2, 1, 0)
+        dy = jnp.where(a == 1, 1, 0) + jnp.where(a == 3, -1, 0)
+        npx, npy = rx + dx, ry + dy
+        in_bounds = (npx >= 0) & (npx < g) & (npy >= 0) & (npy < g)
+        c0 = cell_row(rolled, 0)
+        cand = jnp.where(
+            a == 0, cell_row(rolled, -g),
+            jnp.where(a == 1, cell_row(rolled, 1),
+                      jnp.where(a == 2, cell_row(rolled, g),
+                                jnp.where(a == 3, cell_row(rolled, -1),
+                                          c0))))
+        blocked = (cand & _ENT_MASK) == ENTITY_OBSTACLE
+        valid = is_move & in_bounds & ~blocked
+        invalid_move = is_move & ~valid
+        tx = jnp.where(valid, npx, rx)
+        ty = jnp.where(valid, npy, ry)
+        tcell = jnp.where(valid, cand, c0)    # target cell, pre-update
+        vclamp_t = (tcell >> _VIS_SHIFT) & 15
+        never_visited = vclamp_t == 0
+        expl_at_t = ((tcell >> _EXPL_SHIFT) & 1) > 0
+        newly_explored = valid & ~expl_at_t
+
+        # --- watering (`plantos_env_new.py:236-245`) ---
+        ent_r = c0 & _ENT_MASK
+        water_reward = jnp.where(
+            ent_r == ENTITY_PLANT_THIRSTY, R.goal,
+            jnp.where(ent_r == ENTITY_PLANT_HYDRATED, R.mistake,
+                      R.water_empty))
+        do_water = ~is_move & (ent_r == ENTITY_PLANT_THIRSTY)
+
+        # --- re-align to the new rover frame ---
+        mdx = tx - rx
+        mdy = ty - ry
+        r1 = jnp.where(mdx == -1, rot(rolled, -g),
+                       jnp.where(mdx == 1, rot(rolled, g), rolled))
+        r2 = jnp.where(mdy == -1, rot(r1, -1),
+                       jnp.where(mdy == 1, rot(r1, 1), r1))
+
+        # --- lane-0 (now row-0) updates, as in _make_transition ---
+        raw_t = (tcell >> _RAW_SHIFT) & _RAW_MAX
+        inc = (jnp.where(valid & (vclamp_t < 10),
+                         jnp.int32(1 << _VIS_SHIFT), 0)
+               + jnp.where(valid & (raw_t < _RAW_MAX),
+                           jnp.int32(1 << _RAW_SHIFT), 0))
+        dec = jnp.where(do_water, jnp.int32(1), 0)
+        col0 = (tcell + inc - dec) | (1 << _EXPL_SHIFT)
+        new_rolled = jnp.concatenate([col0, r2[1:, :]], axis=0)
+
+        # --- reward & termination (`plantos_env_new.py:162-195`) ---
+        move_reward = jnp.where(
+            valid,
+            jnp.where(never_visited, R.exploration, R.revisit),
+            R.invalid)
+        explored_count = (sc[_SC_EXPLORED:_SC_EXPLORED + 1, :]
+                          + newly_explored.astype(jnp.int32))
+        free_cells = sc[_SC_FREE:_SC_FREE + 1, :]
+        fully = explored_count >= free_cells
+        bonus_given = sc[_SC_BONUS:_SC_BONUS + 1, :] > 0
+        give_bonus = fully & ~bonus_given
+        reward = (jnp.float32(R.step)
+                  + jnp.where(is_move, move_reward, water_reward)
+                  + jnp.where(give_bonus, R.complete_exploration, 0.0))
+        step_count = sc[_SC_STEP:_SC_STEP + 1, :] + 1
+        terminated = fully
+        truncated = step_count >= max_steps
+
+        # --- observation probes: one MXU matmul, contraction over the
+        # grid (sublane) dim; raw-visit bits masked off first so the bf16
+        # MXU pass is exact (see _make_transition) ---
+        probes = jnp.dot(sel.astype(jnp.bfloat16),
+                         (new_rolled & 0x7F).astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        probes = probes.astype(jnp.int32)                  # [PCOL, Bb]
+
+        # First-hit fold, far -> near (`plantos_env_new.py:282-305`).
+        dist = jnp.full((C, Bb), Rr, jnp.int32)
+        etype = jnp.zeros((C, Bb), jnp.int32)
+        for r in range(Rr - 1, -1, -1):
+            pdx = pdx_all[:, r:r + 1]                      # [C, 1]
+            pdy = pdy_all[:, r:r + 1]
+            px, py = tx + pdx, ty + pdy                    # [C, Bb]
+            oob = (px < 0) | (px >= g) | (py < 0) | (py >= g)
+            ev = probes[r * C:(r + 1) * C, :] & _ENT_MASK  # [C, Bb]
+            val = jnp.where(oob, ENTITY_OBSTACLE, ev)
+            hit = val > 0
+            dist = jnp.where(hit, r + 1, dist)
+            etype = jnp.where(hit, val, etype)
+
+        # Visit window (`plantos_env_new.py:317-328`): OOB reads 1.0.
+        vx, vy = tx + vdx, ty + vdy                        # [V, Bb]
+        v_oob = (vx < 0) | (vx >= g) | (vy < 0) | (vy >= g)
+        vcounts = (probes[Rr * C:Rr * C + V, :] >> _VIS_SHIFT) & 15
+        visit_map = jnp.where(v_oob, 1.0, vcounts.astype(jnp.float32) / 10.0)
+
+        obs = jnp.concatenate([
+            dist.astype(jnp.float32) / Rr,                 # [C, Bb]
+            (etype == 0).astype(jnp.float32),
+            (etype == 1).astype(jnp.float32),
+            (etype == 2).astype(jnp.float32),
+            (etype == 3).astype(jnp.float32),
+            tx.astype(jnp.float32) / g,
+            ty.astype(jnp.float32) / g,
+            visit_map,
+            jnp.zeros((OBS_PAD - (5 * C + 2 + V), Bb), jnp.float32),
+        ], axis=0)                                         # [OBS_PAD, Bb]
+
+        zeros = jnp.zeros_like(tx)
+        new_sc = jnp.concatenate([
+            tx, ty, step_count, explored_count, free_cells,
+            sc[_SC_THIRSTY:_SC_THIRSTY + 1, :] - do_water.astype(jnp.int32),
+            sc[_SC_TOTAL_PLANTS:_SC_TOTAL_PLANTS + 1, :],
+            (bonus_given | fully).astype(jnp.int32),
+            ((sc[_SC_COLLIDED:_SC_COLLIDED + 1, :] > 0) | invalid_move
+             ).astype(jnp.int32),
+            sc[_SC_COLLISIONS:_SC_COLLISIONS + 1, :]
+            + invalid_move.astype(jnp.int32),
+        ] + [zeros] * (_SC_COLS - 10), axis=0)
+
+        return (new_rolled, new_sc, obs, reward.astype(jnp.float32),
+                terminated, truncated, ~is_move)
+
+    return transition
+
+
 def _block_envs_for(num_envs: int, block_envs: int) -> int:
     while num_envs % block_envs != 0 or block_envs > num_envs:
         block_envs //= 2
@@ -566,7 +734,12 @@ def build_fused_rollout(config: EnvConfig, num_envs: int, horizon: int,
     the packed world grid and scalars live in the (revisited) output
     blocks for all ``horizon`` steps and cross HBM once per chunk, while
     per-step obs/reward/flags stream through the output pipeline and the
-    per-step action columns through the input pipeline.
+    per-step action rows through the input pipeline.
+
+    The kernel computes in the TRANSPOSED layout (envs on lanes, grid
+    cells on sublanes — see :func:`_make_transition_t` for why); the
+    [B, L] <-> [L, B] transposes happen in XLA at the chunk boundary
+    (~50 us per 21 MB chunk, amortized over ``horizon`` steps).
 
     Mid-chunk ``done`` envs FREEZE: state stops changing, rewards are 0,
     flags are 0, obs is 0, and scal column ``_SC_DONE`` latches so the
@@ -591,7 +764,7 @@ def build_fused_rollout(config: EnvConfig, num_envs: int, horizon: int,
     PCOL = sel_np.shape[1]
     perm = _obs_permutation(config)
     OBS_PAD = _lane_pad(config.obs_dim)
-    transition = _make_transition(config, Bb)
+    transition = _make_transition_t(config, Bb)
 
     def kernel(rolled_ref, scal_ref, action_ref,
                pdx_ref, pdy_ref, vdx_ref, vdy_ref, sel_ref,
@@ -604,16 +777,16 @@ def build_fused_rollout(config: EnvConfig, num_envs: int, horizon: int,
             rolled_out[:] = rolled_ref[:]
             scal_out[:] = scal_ref[:]
 
-        rolled = rolled_out[:]
-        sc = scal_out[:]
-        a = action_ref[0]                                  # [Bb, 1]
+        rolled = rolled_out[:]                             # [L, Bb]
+        sc = scal_out[:]                                   # [SC, Bb]
+        a = action_ref[0]                                  # [1, Bb]
 
         new_rolled, new_sc, obs, reward, term, trunc, is_water = transition(
             rolled, sc, a,
             pdx_ref[:], pdy_ref[:], vdx_ref[:], vdy_ref[:], sel_ref[:])
 
         # Freeze envs whose episode already ended inside this chunk.
-        done_prev = sc[:, _SC_DONE:_SC_DONE + 1] > 0
+        done_prev = sc[_SC_DONE:_SC_DONE + 1, :] > 0       # [1, Bb]
         new_rolled = jnp.where(done_prev, rolled, new_rolled)
         new_sc = jnp.where(done_prev, sc, new_sc)
         reward = jnp.where(done_prev, 0.0, reward)
@@ -623,8 +796,8 @@ def build_fused_rollout(config: EnvConfig, num_envs: int, horizon: int,
         obs = jnp.where(done_prev, 0.0, obs)
         done_now = (done_prev | term | trunc).astype(jnp.int32)
         new_sc = jnp.concatenate([
-            new_sc[:, :_SC_DONE], done_now,
-            new_sc[:, _SC_DONE + 1:]], axis=1)
+            new_sc[:_SC_DONE, :], done_now,
+            new_sc[_SC_DONE + 1:, :]], axis=0)
 
         rolled_out[:] = new_rolled
         scal_out[:] = new_sc
@@ -633,16 +806,16 @@ def build_fused_rollout(config: EnvConfig, num_envs: int, horizon: int,
         flags_out[:] = jnp.concatenate([
             term.astype(jnp.int32), trunc.astype(jnp.int32),
             is_water.astype(jnp.int32),
-            jnp.zeros((Bb, 1), jnp.int32)], axis=1)[None]
+            jnp.zeros((1, Bb), jnp.int32)], axis=0)[None]
 
-    def state_spec(cols):
-        return pl.BlockSpec((Bb, cols), lambda i, k: (i, 0))
+    def state_spec(rows):
+        return pl.BlockSpec((rows, Bb), lambda i, k: (0, i))
 
     def const_spec(rows, cols):
         return pl.BlockSpec((rows, cols), lambda i, k: (0, 0))
 
-    def time_spec(cols):
-        return pl.BlockSpec((1, Bb, cols), lambda i, k: (k, i, 0))
+    def time_spec(rows):
+        return pl.BlockSpec((1, rows, Bb), lambda i, k: (k, 0, i))
 
     if interpret:
         compiler_params = None
@@ -658,40 +831,40 @@ def build_fused_rollout(config: EnvConfig, num_envs: int, horizon: int,
         grid=(n_blocks, K),
         in_specs=[state_spec(L), state_spec(_SC_COLS),
                   # step k's actions, streamed per grid step (Mosaic
-                  # cannot dynamically slice the lane dim, so the actions
-                  # ride the input pipeline instead of staying resident)
+                  # cannot dynamically slice a time dimension held
+                  # resident, so the actions ride the input pipeline)
                   time_spec(1),
-                  const_spec(Rr, C), const_spec(Rr, C),
-                  const_spec(1, V), const_spec(1, V),
-                  const_spec(L, PCOL)],
+                  const_spec(C, Rr), const_spec(C, Rr),
+                  const_spec(V, 1), const_spec(V, 1),
+                  const_spec(PCOL, L)],
         out_specs=[state_spec(L), state_spec(_SC_COLS),
                    time_spec(OBS_PAD), time_spec(1), time_spec(4)],
         out_shape=[
-            jax.ShapeDtypeStruct((num_envs, L), jnp.int32),     # rolled
-            jax.ShapeDtypeStruct((num_envs, _SC_COLS), jnp.int32),
-            jax.ShapeDtypeStruct((K, num_envs, OBS_PAD), jnp.float32),
-            jax.ShapeDtypeStruct((K, num_envs, 1), jnp.float32),
-            jax.ShapeDtypeStruct((K, num_envs, 4), jnp.int32),  # flags
+            jax.ShapeDtypeStruct((L, num_envs), jnp.int32),     # rolled
+            jax.ShapeDtypeStruct((_SC_COLS, num_envs), jnp.int32),
+            jax.ShapeDtypeStruct((K, OBS_PAD, num_envs), jnp.float32),
+            jax.ShapeDtypeStruct((K, 1, num_envs), jnp.float32),
+            jax.ShapeDtypeStruct((K, 4, num_envs), jnp.int32),  # flags
         ],
         interpret=interpret,
     )
 
     perm_j = jnp.asarray(perm)
-    pdx_j = jnp.asarray(lid[:, :, 0].T.copy())             # [R, C]
-    pdy_j = jnp.asarray(lid[:, :, 1].T.copy())
-    vdx_j = jnp.asarray(vis[:, 0][None, :].copy())         # [1, V]
-    vdy_j = jnp.asarray(vis[:, 1][None, :].copy())
-    sel_j = jnp.asarray(sel_np)                            # [L, PCOL]
+    pdx_j = jnp.asarray(lid[:, :, 0].copy())               # [C, R]
+    pdy_j = jnp.asarray(lid[:, :, 1].copy())
+    vdx_j = jnp.asarray(vis[:, 0][:, None].copy())         # [V, 1]
+    vdy_j = jnp.asarray(vis[:, 1][:, None].copy())
+    sel_j = jnp.asarray(sel_np.T.copy())                   # [PCOL, L]
 
     def rollout(flat: FlatEnvState, actions: jnp.ndarray):
-        actions = actions.astype(jnp.int32).reshape(K, num_envs, 1)
+        actions = actions.astype(jnp.int32).reshape(K, 1, num_envs)
         rolled, scal, obs_k, rew, flags = pallas_rollout(
-            flat.rolled, flat.scal, actions,
+            flat.rolled.T, flat.scal.T, actions,
             pdx_j, pdy_j, vdx_j, vdy_j, sel_j)
-        new_flat = FlatEnvState(rolled=rolled, scal=scal, key=flat.key)
-        obs = jnp.take(obs_k, perm_j, axis=2)
-        return (new_flat, obs, rew[:, :, 0], flags[:, :, 0].astype(bool),
-                flags[:, :, 1].astype(bool), flags[:, :, 2].astype(bool))
+        new_flat = FlatEnvState(rolled=rolled.T, scal=scal.T, key=flat.key)
+        obs = jnp.take(obs_k, perm_j, axis=1).transpose(0, 2, 1)
+        return (new_flat, obs, rew[:, 0, :], flags[:, 0, :].astype(bool),
+                flags[:, 1, :].astype(bool), flags[:, 2, :].astype(bool))
 
     return rollout
 

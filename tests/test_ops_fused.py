@@ -193,11 +193,11 @@ def test_fused_rollout_freeze_and_chunk_reset(envs):
     _, fenv = envs
     K = 6
     flat, _, _ = fenv.reset(jax.random.PRNGKey(2))
-    # Burn down to 3 steps before truncation (max_steps=40) without
-    # triggering dones: watering in place never ends an episode.
-    water = jnp.full((N_ENVS,), 4, jnp.int32)
-    for _ in range(37):
-        flat, *_ = fenv.step(flat, water)
+    # Jump to 3 steps before truncation (max_steps=40) by setting the
+    # step-count scalar directly (cheaper than stepping 37 times).
+    from rlenv_tpu.ops.fused_step import _SC_STEP
+    max_steps = fenv.env.config.max_steps
+    flat = flat.replace(scal=flat.scal.at[:, _SC_STEP].set(max_steps - 3))
 
     actions = jnp.asarray(
         np.random.default_rng(0).integers(0, 5, size=(K, N_ENVS)), jnp.int32)
