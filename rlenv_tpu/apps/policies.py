@@ -75,6 +75,12 @@ class PolicyRunner:
 def load_policy(model_path: str, model_type: str = "auto",
                 env_config: Optional[EnvConfig] = None) -> PolicyRunner:
     env_config = env_config or EnvConfig.training()
+    if model_path.endswith(".zip"):
+        # Stable-Baselines3 archive — e.g. the reference's own shipped
+        # checkpoints (`example_usage.py:37-48` loads these with SB3; we
+        # convert the torch weights into the matching flax policy).
+        from rlenv_tpu.apps.sb3_import import load_sb3_policy
+        return load_sb3_policy(model_path, model_type, env_config)
     meta = load_metadata(model_path) or {}
     if model_type == "auto":
         model_type = meta.get("model_type") or detect_model_type(model_path)
