@@ -47,7 +47,7 @@ def main() -> None:
         from rlenv_tpu.env.fused_vector import FusedVecPlantOS
         venv = FusedVecPlantOS(env, NUM_ENVS,
                                block_envs=int(os.environ.get("BENCH_BLOCK",
-                                                             256)))
+                                                             1024)))
     else:
         venv = VecPlantOS(env, NUM_ENVS)
 
