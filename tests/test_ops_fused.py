@@ -215,6 +215,49 @@ def test_fused_rollout_freeze_and_chunk_reset(envs):
     assert np.isfinite(np.asarray(next_obs)).all()
 
 
+def test_fused_rollout_under_shard_map():
+    """The chunked rollout kernel composes with shard_map over the 'data'
+    mesh axis: per-device chunks produce the same trajectory as the
+    single-device kernel."""
+    from jax.sharding import PartitionSpec as P
+
+    from rlenv_tpu.ops.fused_step import build_fused_rollout
+    from rlenv_tpu.parallel.mesh import make_mesh
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    config = EnvConfig.training(max_steps=40)
+    env = PlantOS(config)
+    B, K = n_dev * 4, 5
+    mesh = make_mesh(n_dev, model_parallel=1)
+
+    fenv = FusedVecPlantOS(env, B, interpret=True)
+    flat, _, _ = fenv.reset(jax.random.PRNGKey(1))
+    actions = jnp.asarray(
+        np.random.default_rng(4).integers(0, 5, size=(K, B)), jnp.int32)
+
+    local_roll = build_fused_rollout(config, B // n_dev, K, interpret=True)
+    dp = lambda tree: jax.tree.map(lambda _: P("data"), tree)
+    sharded = jax.shard_map(
+        local_roll, mesh=mesh,
+        in_specs=(dp(flat), P(None, "data")),
+        out_specs=(dp(flat), P(None, "data"), P(None, "data"),
+                   P(None, "data"), P(None, "data"), P(None, "data")),
+        check_vma=False)
+    s_flat, s_obs, s_rew, s_te, s_tr, _ = jax.jit(sharded)(flat, actions)
+
+    ref_roll = build_fused_rollout(config, B, K, interpret=True)
+    r_flat, r_obs, r_rew, r_te, r_tr, _ = ref_roll(flat, actions)
+
+    np.testing.assert_array_equal(np.asarray(r_obs), np.asarray(s_obs))
+    np.testing.assert_array_equal(np.asarray(r_rew), np.asarray(s_rew))
+    np.testing.assert_array_equal(np.asarray(r_flat.rolled),
+                                  np.asarray(s_flat.rolled))
+    np.testing.assert_array_equal(np.asarray(r_flat.scal),
+                                  np.asarray(s_flat.scal))
+
+
 def test_fused_step_under_shard_map():
     """The fused kernel composes with shard_map over the 'data' mesh axis
     (multi-chip env sharding): per-device blocks produce the same results
