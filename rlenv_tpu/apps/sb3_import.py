@@ -122,6 +122,19 @@ def load_sb3_policy(zip_path: str, model_type: str = "auto",
     with zipfile.ZipFile(zip_path) as zf:
         sd = _torch_state_dict(zf)
 
+    # Sanity-check the checkpoint's input width against the env config the
+    # caller intends to run it in (obs-dim mismatches otherwise surface as
+    # shape errors deep inside jit).
+    # (For recurrent policies the MLP towers consume LSTM features, so the
+    # observation width lives on the LSTM's input kernel.)
+    in_keys = ("lstm_actor.weight_ih_l0", "q_net.q_net.0.weight",
+               "mlp_extractor.policy_net.0.weight")
+    in_dims = [sd[k].shape[1] for k in in_keys if k in sd]
+    if env_config is not None and in_dims and in_dims[0] != env_config.obs_dim:
+        raise ValueError(
+            f"checkpoint expects {in_dims[0]}-dim observations but the env "
+            f"config produces {env_config.obs_dim} (grid/LIDAR mismatch)")
+
     if model_type == "dqn":
         widths = [sd[k].shape[0] for k in sorted(
             (k for k in sd if re.match(r"q_net\.q_net\.\d+\.weight$", k)),

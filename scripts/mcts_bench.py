@@ -1,0 +1,33 @@
+import os, time
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+import jax, jax.numpy as jnp
+from rlenv_tpu import EnvConfig, PlantOS
+from rlenv_tpu.config import MCTSConfig
+from rlenv_tpu.algos.mcts import MCTSPlanner
+from rlenv_tpu.env.vector import VecPlantOS
+
+# Reference config: grid 15, 50 sims, depth 100 (mcts_custom_trainer.py defaults)
+cfg = EnvConfig(grid_size=15, num_plants=5, num_obstacles=8,
+                lidar_range=2, lidar_channels=10, max_steps=500)
+env = PlantOS(cfg)
+B = 256
+venv = VecPlantOS(env, B)
+planner = MCTSPlanner(env, MCTSConfig(n_simulations=50, max_depth=100))
+
+states, obs, _ = venv.reset(jax.random.PRNGKey(0))
+keys = jax.random.split(jax.random.PRNGKey(1), B)
+t0 = time.perf_counter()
+acts = planner.search_batch(states, keys)
+print("first call (incl compile):", time.perf_counter() - t0, "s", flush=True)
+
+reps = 5
+t0 = time.perf_counter()
+for i in range(reps):
+    keys = jax.random.split(keys[0], B)
+    acts = planner.search_batch(states, keys)
+x = acts.sum().item()
+dt = (time.perf_counter() - t0) / reps
+per_action_env_steps = 50 * 100  # sims x depth upper bound
+print(f"{dt*1e3:.1f} ms per batched search of {B} envs -> "
+      f"{B/dt:.1f} planned actions/s "
+      f"(~{B*per_action_env_steps/dt/1e6:.2f}M sim env-steps/s)", flush=True)
