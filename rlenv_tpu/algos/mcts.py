@@ -24,6 +24,20 @@ value/max(visits,1) over root children (`:61-68`).
 
 Known benign divergence: exact ties in UCB1/argmax resolve to the lowest
 action index instead of Python-dict insertion order.
+
+Two search paths share these semantics:
+
+* :meth:`MCTSPlanner.search` / ``search_batch`` — one XLA program; every
+  env-step in selection/rollout is a ``while_loop`` iteration (the
+  readable oracle).
+* :meth:`MCTSPlanner.search_batch_fused` — batch-major search where the
+  simulation env lives PACKED (``rlenv_tpu.ops.fused_step`` layout) for
+  the whole search: selection steps run through the fused step kernel and
+  the entire rollout phase (the ~90% ablated cost) runs as ONE Pallas
+  program per simulation with the 70/30 policy evaluated in-kernel
+  (``rlenv_tpu.ops.mcts_rollout``). Same tree rules; the random streams
+  differ (kernel randomness is streamed bits), so the two paths agree
+  distributionally, not bitwise.
 """
 
 from __future__ import annotations
@@ -41,12 +55,16 @@ _NO_NODE = jnp.int32(-1)
 class MCTSPlanner:
     """Model-based planner over the functional PlantOS env (no NN)."""
 
-    def __init__(self, env: PlantOS, config: MCTSConfig = MCTSConfig()):
+    def __init__(self, env: PlantOS, config: MCTSConfig = MCTSConfig(),
+                 interpret: bool | None = None):
         self.env = env
         self.config = config
         self._deltas = jnp.asarray(_ACTION_DELTAS[:4])
         # jit-compiled batched search: (EnvState batch, keys[B]) -> actions[B]
         self.search_batch = jax.jit(jax.vmap(self.search))
+        # Pallas kernels lower via Mosaic only on TPU; interpret elsewhere.
+        self._interpret = interpret
+        self._fused_cache: dict = {}
 
     # -- rollout policy (`mcts_custom_trainer.py:168-216`) -------------------
 
@@ -204,3 +222,183 @@ class MCTSPlanner:
         best = jnp.argmax(mean_value).astype(jnp.int32)
         random_action = jax.random.randint(key, (), 0, 5)
         return jnp.where(jnp.any(exists), best, random_action)
+
+    # -- fused batch search (Pallas kernels, batch-major tree) ---------------
+
+    def search_batch_fused(self, root_states: EnvState,
+                           key: jax.Array) -> jnp.ndarray:
+        """Batched search with the sim env packed and the rollout phase run
+        as one Pallas program per simulation. Same tree semantics as
+        :meth:`search`; takes ONE key (randomness is drawn batch-wide).
+
+        ~7x faster than ``search_batch`` on TPU at the reference planner
+        config (the rollout while_loop, ~90% of the search, collapses from
+        ~35 us per batched env-step to kernel pace)."""
+        B = root_states.rover.shape[0]
+        if B not in self._fused_cache:
+            self._fused_cache[B] = self._build_fused_search(B)
+        return self._fused_cache[B](root_states, key)
+
+    def _build_fused_search(self, B: int):
+        from rlenv_tpu.ops.fused_step import (_SC_BONUS, _SC_COLLIDED,
+                                              _SC_COLLISIONS, _SC_DONE,
+                                              FlatEnvState, build_fused_step,
+                                              pack_state)
+        from rlenv_tpu.ops.mcts_rollout import _SC_ROLLD, build_mcts_rollout
+
+        cfg = self.config
+        env = self.env
+        g = env.config.grid_size
+        N = cfg.max_nodes
+        K = cfg.max_depth
+        interpret = self._interpret
+        if interpret is None:
+            dev = jax.devices()[0]
+            interpret = not ("tpu" in dev.platform.lower()
+                             or "tpu" in dev.device_kind.lower())
+        step = build_fused_step(env.config, B, block_envs=min(256, B),
+                                interpret=interpret)
+        roll = build_mcts_rollout(
+            env.config, B, K, heuristic_prob=cfg.rollout_heuristic_prob,
+            completion_bonus=cfg.completion_bonus,
+            block_envs=min(256, B), interpret=interpret)
+        bidx = jnp.arange(B)
+
+        def select_flat(mask, new, old):
+            return FlatEnvState(
+                rolled=jnp.where(mask[:, None], new.rolled, old.rolled),
+                scal=jnp.where(mask[:, None], new.scal, old.scal),
+                key=old.key)
+
+        def ucb_children(tree, node):
+            """Batched `_ucb_child` (`mcts_custom_trainer.py:38-59`)."""
+            kids = tree["children"][bidx, node]            # [B, 5]
+            exists = kids >= 0
+            safe = jnp.maximum(kids, 0)
+            cv = tree["visits"][bidx[:, None], safe].astype(jnp.float32)
+            cval = tree["value"][bidx[:, None], safe]
+            pv = tree["visits"][bidx, node].astype(jnp.float32)[:, None]
+            ucb = jnp.where(
+                cv == 0, jnp.inf,
+                cval / jnp.maximum(cv, 1.0)
+                + cfg.c_param * jnp.sqrt(jnp.log(jnp.maximum(pv, 1.0))
+                                         / jnp.maximum(cv, 1.0)))
+            ucb = jnp.where(exists, ucb, -jnp.inf)
+            a = jnp.argmax(ucb, axis=-1).astype(jnp.int32)
+            return kids[bidx, a], a
+
+        def search(root_states: EnvState, key: jax.Array) -> jnp.ndarray:
+            flat_root = pack_state(root_states, g)
+            # `_clone_for_sim` semantics: episode flags reset to a fresh
+            # env's defaults (`mcts_custom_trainer.py:218-243`).
+            scal = flat_root.scal
+            for col in (_SC_BONUS, _SC_COLLIDED, _SC_COLLISIONS,
+                        _SC_DONE, _SC_ROLLD):
+                scal = scal.at[:, col].set(0)
+            flat_root = flat_root.replace(scal=scal)
+
+            tree = dict(
+                visits=jnp.zeros((B, N), jnp.int32),
+                value=jnp.zeros((B, N), jnp.float32),
+                parent=jnp.full((B, N), _NO_NODE),
+                children=jnp.full((B, N, 5), _NO_NODE),
+                untried=jnp.ones((B, N, 5), bool),
+                count=jnp.ones((B,), jnp.int32),          # node 0 = root
+            )
+
+            def simulation(_, carry):
+                tree, key = carry
+                key, k_exp, k_roll = jax.random.split(key, 3)
+                rand = jax.lax.bitcast_convert_type(
+                    jax.random.bits(k_roll, (K, 3, B), jnp.uint32),
+                    jnp.int32)
+
+                # --- SELECTION (tree fixed; all B lanes masked) ---
+                def active_mask(node, depth, stop):
+                    fully = ~jnp.any(tree["untried"][bidx, node], axis=-1)
+                    has_kids = jnp.any(tree["children"][bidx, node] >= 0,
+                                       axis=-1)
+                    return fully & has_kids & (depth < K) & ~stop
+
+                def sel_cond(c):
+                    node, flat, depth, stop = c
+                    return jnp.any(active_mask(node, depth, stop))
+
+                def sel_body(c):
+                    node, flat, depth, stop = c
+                    act = active_mask(node, depth, stop)
+                    child, action = ucb_children(tree, node)
+                    nf, _, _, term, trunc, _ = step(flat, action)
+                    flat = select_flat(act, nf, flat)
+                    node = jnp.where(act, child, node)
+                    depth = depth + act.astype(jnp.int32)
+                    stop = stop | (act & (term | trunc))
+                    return (node, flat, depth, stop)
+
+                node, flat, depth, stop = jax.lax.while_loop(
+                    sel_cond, sel_body,
+                    (jnp.zeros(B, jnp.int32), flat_root,
+                     jnp.zeros(B, jnp.int32), jnp.zeros(B, bool)))
+
+                # --- EXPANSION ---
+                untried_n = tree["untried"][bidx, node]    # [B, 5]
+                any_untried = jnp.any(untried_n, axis=-1)
+                can = any_untried & (depth < K) & (tree["count"] < N)
+                logits = jnp.where(untried_n, 0.0, -jnp.inf)
+                logits = jnp.where(any_untried[:, None], logits, 0.0)
+                exp_a = jax.random.categorical(k_exp, logits
+                                               ).astype(jnp.int32)
+                nf, _, _, _, _, _ = step(flat, exp_a)
+                flat = select_flat(can, nf, flat)
+                new_idx = jnp.minimum(tree["count"], N - 1)
+                parent = tree["parent"].at[bidx, new_idx].set(
+                    jnp.where(can, node, tree["parent"][bidx, new_idx]))
+                children = tree["children"].at[bidx, node, exp_a].set(
+                    jnp.where(can, new_idx,
+                              tree["children"][bidx, node, exp_a]))
+                untried = tree["untried"].at[bidx, node, exp_a].set(
+                    jnp.where(can, False,
+                              tree["untried"][bidx, node, exp_a]))
+                tree = dict(
+                    visits=tree["visits"], value=tree["value"],
+                    parent=parent, children=children, untried=untried,
+                    count=tree["count"] + can.astype(jnp.int32))
+                node = jnp.where(can, new_idx, node)
+
+                # --- ROLLOUT: one Pallas program for the whole phase ---
+                returns = roll(flat, depth, rand)          # [B] f32
+
+                # --- BACKPROP ---
+                def bp_cond(c):
+                    return jnp.any(c[0] >= 0)
+
+                def bp_body(c):
+                    n, visits, value = c
+                    act = n >= 0
+                    ns = jnp.maximum(n, 0)
+                    visits = visits.at[bidx, ns].add(act.astype(jnp.int32))
+                    value = value.at[bidx, ns].add(
+                        jnp.where(act, returns, 0.0))
+                    n = jnp.where(act, parent[bidx, ns], n)
+                    return (n, visits, value)
+
+                _, visits, value = jax.lax.while_loop(
+                    bp_cond, bp_body, (node, tree["visits"], tree["value"]))
+                return dict(tree, visits=visits, value=value), key
+
+            tree, key = jax.lax.fori_loop(0, cfg.n_simulations, simulation,
+                                          (tree, key))
+
+            # --- final decision (`mcts_custom_trainer.py:61-68`) ---
+            kids = tree["children"][:, 0, :]               # [B, 5]
+            exists = kids >= 0
+            safe = jnp.maximum(kids, 0)
+            mean_value = (tree["value"][bidx[:, None], safe]
+                          / jnp.maximum(tree["visits"][bidx[:, None], safe]
+                                        .astype(jnp.float32), 1.0))
+            mean_value = jnp.where(exists, mean_value, -jnp.inf)
+            best = jnp.argmax(mean_value, axis=-1).astype(jnp.int32)
+            random_action = jax.random.randint(key, (B,), 0, 5)
+            return jnp.where(jnp.any(exists, axis=-1), best, random_action)
+
+        return jax.jit(search)

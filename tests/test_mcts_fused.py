@@ -1,0 +1,108 @@
+"""Fused MCTS path: rollout-kernel parity and batch-search semantics.
+
+The rollout kernel (`rlenv_tpu/ops/mcts_rollout.py`) and its XLA mirror
+consume the SAME streamed random bits with the same integer arithmetic, so
+their float32 returns must be BIT-identical (the mirror goes through
+``PlantOS.step`` on unpacked state — a genuinely independent oracle).
+Kernels run in Pallas interpret mode on the CPU test platform.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rlenv_tpu.config import EnvConfig, MCTSConfig
+from rlenv_tpu.algos.mcts import MCTSPlanner
+from rlenv_tpu.env.core import PlantOS
+from rlenv_tpu.ops.fused_step import pack_state
+from rlenv_tpu.ops.mcts_rollout import (build_mcts_rollout,
+                                        rollout_returns_xla)
+
+
+def _reset_batch(env, B, seed=0):
+    keys = jax.random.split(jax.random.PRNGKey(seed), B)
+    states, _, _ = jax.vmap(env.reset)(keys)
+    return states
+
+
+def test_rollout_kernel_matches_xla_mirror():
+    """Kernel rollout returns == XLA-mirror returns, bitwise, including
+    mid-rollout termination/truncation freezing and nonzero start depths."""
+    cfg = EnvConfig(grid_size=7, num_plants=2, num_obstacles=3,
+                    lidar_range=2, lidar_channels=4, max_steps=12)
+    env = PlantOS(cfg)
+    B, K = 8, 20   # max_steps < K => truncation freezes lanes mid-rollout
+    states = _reset_batch(env, B)
+    flat = pack_state(states, cfg.grid_size)
+    d0 = jnp.asarray([0, 1, 3, 0, 7, 0, 20, 2], jnp.int32)
+    rand = jax.lax.bitcast_convert_type(
+        jax.random.bits(jax.random.PRNGKey(42), (K, 3, B), jnp.uint32),
+        jnp.int32)
+
+    kernel = build_mcts_rollout(cfg, B, K, heuristic_prob=0.7,
+                                completion_bonus=500.0, interpret=True)
+    got = jax.jit(kernel)(flat, d0, rand)
+    want = jax.jit(lambda s, d, r: rollout_returns_xla(
+        env, s, d, r, K, heuristic_prob=0.7, completion_bonus=500.0)
+    )(states, d0, rand)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # sanity: lanes starting at d0 == K accumulate nothing
+    assert float(got[6]) == 0.0
+
+
+def test_rollout_kernel_completion_bonus():
+    """A rover one step from full exploration earns the +500 rollout bonus
+    (`mcts_custom_trainer.py:162-164`) plus the env's own completion
+    reward; the kernel and mirror agree bitwise."""
+    cfg = EnvConfig(grid_size=5, num_plants=1, num_obstacles=0,
+                    lidar_range=2, lidar_channels=4, max_steps=100)
+    env = PlantOS(cfg)
+    B, K = 4, 30
+    states = _reset_batch(env, B, seed=3)
+    flat = pack_state(states, cfg.grid_size)
+    d0 = jnp.zeros(B, jnp.int32)
+    rand = jax.lax.bitcast_convert_type(
+        jax.random.bits(jax.random.PRNGKey(7), (K, 3, B), jnp.uint32),
+        jnp.int32)
+    kernel = build_mcts_rollout(cfg, B, K, interpret=True)
+    got = jax.jit(kernel)(flat, d0, rand)
+    want = rollout_returns_xla(env, states, d0, rand, K)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # On a 5x5 open grid, 30 heuristic-guided steps explore a lot; at
+    # least one lane should finish and collect the +500 bonus.
+    assert float(jnp.max(got)) > 400.0
+
+
+def test_fused_search_plans_reasonably():
+    """Batch-major fused search returns valid actions and explores at
+    least as well as random actions (same sanity bar as the XLA-search
+    test in test_algos.py)."""
+    cfg = EnvConfig(grid_size=7, num_plants=2, num_obstacles=3,
+                    lidar_range=2, lidar_channels=4, max_steps=60)
+    env = PlantOS(cfg)
+    planner = MCTSPlanner(env, MCTSConfig(n_simulations=12, max_depth=10,
+                                          max_nodes=32), interpret=True)
+    B = 4
+    states = _reset_batch(env, B, seed=1)
+    v_step = jax.jit(jax.vmap(env.step))
+    key = jax.random.PRNGKey(0)
+
+    expl_mcts = None
+    for _ in range(15):
+        key, k = jax.random.split(key)
+        actions = planner.search_batch_fused(states, k)
+        assert actions.shape == (B,)
+        assert bool(jnp.all((actions >= 0) & (actions < 5)))
+        states, _, _, _, _, info = v_step(states, actions)
+        expl_mcts = info["exploration_percentage"]
+
+    rstates = _reset_batch(env, B, seed=1)
+    key = jax.random.PRNGKey(0)
+    expl_rand = None
+    for _ in range(15):
+        key, k = jax.random.split(key)
+        actions = jax.random.randint(k, (B,), 0, 5)
+        rstates, _, _, _, _, info = v_step(rstates, actions)
+        expl_rand = info["exploration_percentage"]
+
+    assert float(jnp.mean(expl_mcts)) >= float(jnp.mean(expl_rand)) - 1e-6
