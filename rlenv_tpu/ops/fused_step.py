@@ -143,6 +143,20 @@ def pack_state(state: EnvState, grid_size: int) -> FlatEnvState:
     B = state.rover.shape[0]
     L = _lane_pad(g * g)
 
+    # The 16-bit raw-visit field saturates at _RAW_MAX. The kernel MCTS
+    # rollout policy (ops/mcts_rollout.py) selects least-visited neighbors
+    # from THESE saturating counts while the XLA mirror compares unbounded
+    # int32 — selection silently diverges once any true count exceeds
+    # _RAW_MAX - rollout_depth. Documented worst case (curriculum
+    # persistence 50 eps x 1000 steps = 50k, `trainingCode.py:32-36`, plus
+    # rollout depth <= 1000) leaves ~22% headroom; revisit this bound if
+    # curriculum limits change. Checked eagerly outside jit:
+    if not isinstance(state.visit_counts, jax.core.Tracer):
+        _max_vis = int(jnp.max(state.visit_counts)) if B else 0
+        assert _max_vis <= _RAW_MAX - 1024, (
+            f"visit_counts max {_max_vis} too close to the 16-bit packed "
+            f"ceiling {_RAW_MAX}; kernel least-visited selection would "
+            "diverge from the unbounded XLA path")
     raw = jnp.minimum(state.visit_counts.reshape(B, g * g), _RAW_MAX
                       ).astype(jnp.int32)
     plants = state.plants.reshape(B, g * g).astype(jnp.int32)

@@ -1,161 +1,260 @@
-"""3-D viewer (Ursina) + subprocess streaming protocol.
+"""3-D viewer + subprocess streaming protocol.
 
-Feature parity with `/root/reference/gradio-app/plantos_3d_viewer_new.py`:
-ground plane, obstacle cubes, billboard quads for rover/plants, wireframe
-cell highlighter, HUD stats text, watering spin animation, and the
-``run_3d_viewer_process(queue, initial_data)`` entry point that polls a
-``multiprocessing.Queue`` for state dicts / a ``"STOP"`` sentinel at
-~100 Hz (`:191-217`).
+Capability parity with the reference's Ursina viewer
+(`/root/reference/gradio-app/plantos_3d_viewer_new.py`): textured ground,
+obstacle cubes, billboard sprites for rover and plants, a wireframe cell
+highlighter, a HUD stats readout, a 3x360-degree watering spin, and a
+subprocess entry point that drains a ``multiprocessing.Queue`` of state
+dicts until a ``"STOP"`` sentinel arrives (reference `:191-217`).
 
-Ursina is not installed in this image, so all Ursina usage is inside the
-class and imported lazily; the process/queue protocol (the part other code
-depends on) is viewer-agnostic and unit-testable via the
-``viewer_factory`` hook.
+The design here is different from the reference's imperative scene code:
+the world is first reduced to a backend-agnostic *scene description*
+(``describe_scene`` -> dict of ``Sprite3D`` records keyed by id), and a
+thin Ursina backend reconciles the live entity set against that
+description each frame (create / move / retint / destroy). The pure
+description layer is unit-testable without a display or Ursina; only
+``_UrsinaStage`` touches the engine, via lazy import (Ursina is not in
+this image).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import time
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict, Optional, Tuple
+
+GROUND_RGB = (34, 139, 34)
+OBSTACLE_RGB = (105, 105, 105)
+HUD_FORMAT = ("Timesteps: {timesteps}\n"
+              "Total Collisions: {collisions}\n"
+              "Thirsty Plants: {thirsty_plants}")
+
+
+@dataclasses.dataclass(frozen=True)
+class Sprite3D:
+    """One renderable item, engine-agnostic."""
+    kind: str                       # 'cube' | 'billboard' | 'wire' | 'plane'
+    world_pos: Tuple[float, float, float]
+    tint: str                       # 'ground'|'obstacle'|'rover'|'thirsty'|
+                                    # 'hydrated'|'highlight'
+    scale: Any = 1.0
+
+
+def grid_to_world(gx: float, gy: float, height: float,
+                  grid_size: int, cell: float = 1.0):
+    """Center the grid on the origin; grid y maps to world z
+    (reference `_grid_to_world`, `plantos_3d_viewer_new.py:176-183`)."""
+    half = grid_size / 2 - 0.5
+    return ((gx - half) * cell, height * cell, (gy - half) * cell)
+
+
+def describe_scene(grid_size: int, obstacles, plants, rover_pos,
+                   cell: float = 1.0) -> Dict[str, Sprite3D]:
+    """Pure world-state -> scene-description reduction.
+
+    ``plants`` maps (x, y) -> is_thirsty. The returned dict is keyed by a
+    stable id so successive descriptions can be diffed.
+    """
+    w = lambda x, y, h: grid_to_world(x, y, h, grid_size, cell)  # noqa: E731
+    scene: Dict[str, Sprite3D] = {
+        "ground": Sprite3D("plane", (0.0, 0.0, 0.0), "ground",
+                           (grid_size * cell, 1, grid_size * cell)),
+        "rover": Sprite3D("billboard", w(*rover_pos, 0.5), "rover",
+                          cell * 2),
+        "highlight": Sprite3D("wire", w(*rover_pos, 0.05), "highlight",
+                              (cell, 0.1, cell)),
+    }
+    for (x, y) in obstacles:
+        scene[f"obs:{x},{y}"] = Sprite3D("cube", w(x, y, 0.5), "obstacle",
+                                         (cell, cell, cell))
+    for (x, y), thirsty in plants.items():
+        scene[f"plant:{x},{y}"] = Sprite3D(
+            "billboard", w(x, y, 0.5),
+            "thirsty" if thirsty else "hydrated", cell * 2)
+    return scene
+
+
+def hud_line(stats: Optional[dict]) -> Optional[str]:
+    if not stats:
+        return None
+    return HUD_FORMAT.format(timesteps=stats.get("timesteps", 0),
+                             collisions=stats.get("collisions", 0),
+                             thirsty_plants=stats.get("thirsty_plants", 0))
+
+
+class _UrsinaStage:
+    """The only Ursina-touching layer: reconciles live entities against a
+    scene description and owns the app loop, HUD, and animations."""
+
+    # tint name -> (texture asset, fallback color attr). Texture files are
+    # looked up next to the process cwd like the reference does; missing
+    # files fall back to flat colors.
+    _TEXTURES = {
+        "ground": ("grass_texture.png", None),
+        "obstacle": ("obstacles_texture.png", None),
+        "rover": ("mech_drone_agent.png", "blue"),
+        "thirsty": ("dry_plant_bg.png", "orange"),
+        "hydrated": ("good_plant_bg.png", "green"),
+        "highlight": (None, "green"),
+    }
+
+    def __init__(self, title: str = "PlantOS 3D View"):
+        import os
+
+        import ursina
+        self._u = ursina
+        self._os = os
+        self.app = ursina.Ursina(title=title, borderless=False,
+                                 development_mode=False)
+        ursina.EditorCamera()
+        ursina.AmbientLight(color=ursina.color.rgba(1, 1, 1, 0.8))
+        ursina.DirectionalLight(color=ursina.color.rgba(1, 1, 1, 0.9),
+                                direction=(-1, -1, 1))
+        self.hud = ursina.Text(text="", origin=(1, 1), background=False,
+                               position=ursina.window.top_right
+                               - ursina.Vec2(0.05, 0.05))
+        self._live: Dict[str, Any] = {}
+
+    # -- reconciliation -------------------------------------------------
+    def sync(self, scene: Dict[str, Sprite3D]) -> None:
+        u = self._u
+        for key in [k for k in self._live if k not in scene]:
+            u.destroy(self._live.pop(key))
+        for key, spec in scene.items():
+            ent = self._live.get(key)
+            if ent is None:
+                ent = self._spawn(spec)
+                self._live[key] = ent
+            ent.position = spec.world_pos
+            self._tint(ent, spec.tint)
+
+    def _spawn(self, spec: Sprite3D):
+        u = self._u
+        kw: Dict[str, Any] = dict(scale=spec.scale)
+        if spec.kind == "billboard":
+            kw.update(model="quad", billboard=True)
+        elif spec.kind == "wire":
+            kw.update(model="cube", mode="wireframe")
+        elif spec.kind == "plane":
+            kw.update(model="plane")
+        else:
+            kw.update(model="cube")
+        return u.Entity(**kw)
+
+    def _tint(self, ent, tint: str) -> None:
+        u = self._u
+        tex, fallback = self._TEXTURES[tint]
+        if tex and self._os.path.exists(tex):
+            ent.texture, ent.color = tex, u.color.white
+        elif tint == "ground":
+            ent.color = u.color.rgb(*GROUND_RGB)
+        elif tint == "obstacle":
+            ent.color = u.color.rgb(*OBSTACLE_RGB)
+        else:
+            ent.texture = None
+            ent.color = getattr(u.color, fallback)
+
+    # -- effects ---------------------------------------------------------
+    def spin_rover(self) -> None:
+        """Watering effect: swap to the watering sprite and spin 3 turns in
+        1 s, then restore (reference `:136-149`)."""
+        u, os = self._u, self._os
+        rover = self._live.get("rover")
+        if rover is None:
+            return
+        rover.animations.clear()
+        if os.path.exists("mech_drone_water.png"):
+            rover.texture = "mech_drone_water.png"
+        rover.animate("rotation_y", rover.rotation_y + 3 * 360,
+                      duration=1, curve=u.curve.linear)
+
+        def _restore():
+            self._tint(rover, "rover")
+            rover.rotation = u.Vec3(0, 0, 0)
+
+        u.Sequence(u.Wait(1.1), u.Func(_restore)).start()
+
+    def set_hud(self, text: Optional[str]) -> None:
+        if text is not None:
+            self.hud.text = text
+
+    def clear(self) -> None:
+        for ent in self._live.values():
+            self._u.destroy(ent)
+        self._live.clear()
+
+    def frame(self) -> None:
+        self.app.step()
+
+    def quit(self) -> None:
+        from ursina import application
+        application.quit()
 
 
 class PlantOS3DViewer:
-    """Ursina scene manager (lazy import; raises ImportError when absent)."""
+    """Reference-compatible facade over the stage + scene description.
 
-    def __init__(self, grid_size: int, cell_size: int = 1):
-        from ursina import (AmbientLight, DirectionalLight, EditorCamera,
-                            Text, Ursina, Vec2, color, window)
+    Method surface matches `plantos_3d_viewer_new.py:6-189`:
+    ``setup_scene`` / ``update_scene`` / ``reset_scene`` / ``render_step`` /
+    ``trigger_watering_animation`` / ``close``.
+    """
 
-        self._u = __import__("ursina")
+    def __init__(self, grid_size: int, cell_size: int = 1,
+                 stage_factory: Callable[[], Any] = _UrsinaStage):
         self.grid_size = grid_size
         self.cell_size = cell_size
-        self.app = Ursina(title="PlantOS 3D View", borderless=False,
-                          development_mode=False)
-        EditorCamera()
-        self.rover_entity = None
-        self.cell_highlighter = None
-        self.plant_entities: Dict[tuple, Any] = {}
-        self.obstacle_entities: Dict[tuple, Any] = {}
-        self.hud_text = Text(text="", position=window.top_right
-                             - Vec2(0.05, 0.05), origin=(1, 1),
-                             background=False)
-        AmbientLight(color=color.rgba(1, 1, 1, 0.8))
-        DirectionalLight(color=color.rgba(1, 1, 1, 0.9),
-                         direction=(-1, -1, 1))
+        self._stage = stage_factory()
+        self._obstacles: list = []
 
-    # grid→world transform (`plantos_3d_viewer_new.py:176-183`)
-    def _grid_to_world(self, gx, gy, height):
-        wx = (gx - self.grid_size / 2 + 0.5) * self.cell_size
-        wz = (gy - self.grid_size / 2 + 0.5) * self.cell_size
-        return (wx, height * self.cell_size, wz)
-
-    def setup_scene(self, obstacles, plants, rover_pos):
-        u = self._u
-        self.ground = u.Entity(
-            model="plane",
-            scale=(self.grid_size, 1, self.grid_size),
-            color=u.color.rgb(34, 139, 34))
-        for (x, y) in obstacles:
-            self.obstacle_entities[(x, y)] = u.Entity(
-                model="cube", color=u.color.rgb(105, 105, 105),
-                position=self._grid_to_world(x, y, 0.5),
-                scale=(self.cell_size,) * 3)
+    def setup_scene(self, obstacles, plants, rover_pos) -> None:
+        self._obstacles = list(obstacles)
         self.update_scene(plants, rover_pos)
 
-    def update_scene(self, plants, rover_pos, stats: Optional[dict] = None):
-        u = self._u
-        if stats:
-            self.hud_text.text = (
-                f"Timesteps: {stats.get('timesteps', 0)}\n"
-                f"Total Collisions: {stats.get('collisions', 0)}\n"
-                f"Thirsty Plants: {stats.get('thirsty_plants', 0)}")
-        if self.rover_entity is None:
-            self.rover_entity = u.Entity(model="quad", color=u.color.blue,
-                                         billboard=True,
-                                         scale=self.cell_size * 2)
-        self.rover_entity.position = self._grid_to_world(
-            rover_pos[0], rover_pos[1], 0.5)
+    def update_scene(self, plants, rover_pos,
+                     stats: Optional[dict] = None) -> None:
+        self._stage.set_hud(hud_line(stats))
+        self._stage.sync(describe_scene(self.grid_size, self._obstacles,
+                                        plants, rover_pos, self.cell_size))
         if stats and stats.get("is_watering", False):
             self.trigger_watering_animation()
-        if self.cell_highlighter is None:
-            self.cell_highlighter = u.Entity(
-                model="cube", color=u.color.green,
-                scale=(self.cell_size, 0.1, self.cell_size),
-                mode="wireframe")
-        self.cell_highlighter.position = self._grid_to_world(
-            rover_pos[0], rover_pos[1], 0.05)
 
-        current = set(self.plant_entities)
-        target = set(plants)
-        for pos in current - target:
-            u.destroy(self.plant_entities.pop(pos))
-        for pos, is_thirsty in plants.items():
-            if pos not in self.plant_entities:
-                self.plant_entities[pos] = u.Entity(
-                    model="quad", scale=self.cell_size * 2, billboard=True)
-            ent = self.plant_entities[pos]
-            ent.position = self._grid_to_world(pos[0], pos[1], 0.5)
-            ent.color = u.color.orange if is_thirsty else u.color.green
+    def trigger_watering_animation(self) -> None:
+        self._stage.spin_rover()
 
-    def trigger_watering_animation(self):
-        """360°x3 spin over 1 s (`plantos_3d_viewer_new.py:136-149`)."""
-        u = self._u
-        if not self.rover_entity:
-            return
-        self.rover_entity.animations.clear()
-        self.rover_entity.animate(
-            "rotation_y", self.rover_entity.rotation_y + 360 * 3,
-            duration=1, curve=u.curve.linear)
-        u.Sequence(
-            u.Wait(1.1),
-            u.Func(lambda: setattr(self.rover_entity, "rotation",
-                                   u.Vec3(0, 0, 0))),
-        ).start()
+    def reset_scene(self) -> None:
+        self._obstacles = []
+        self._stage.clear()
 
-    def reset_scene(self):
-        u = self._u
-        for ent in self.obstacle_entities.values():
-            u.destroy(ent)
-        self.obstacle_entities.clear()
-        for ent in self.plant_entities.values():
-            u.destroy(ent)
-        self.plant_entities.clear()
-        if self.rover_entity:
-            u.destroy(self.rover_entity)
-            self.rover_entity = None
-        if self.cell_highlighter:
-            u.destroy(self.cell_highlighter)
-            self.cell_highlighter = None
+    def render_step(self) -> None:
+        self._stage.frame()
 
-    def render_step(self):
-        self.app.step()
-
-    def close(self):
-        from ursina import application
-        application.quit()
+    def close(self) -> None:
+        self._stage.quit()
 
 
 def run_3d_viewer_process(update_queue, initial_data: dict,
                           viewer_factory: Callable = PlantOS3DViewer,
                           poll_sleep: float = 0.01,
                           max_iterations: Optional[int] = None) -> None:
-    """Subprocess entry point: build the scene, then poll the queue for
-    state dicts until a ``"STOP"`` sentinel (`plantos_3d_viewer_new.py:191-217`).
+    """Subprocess entry point (reference `:191-217`): build the scene from
+    ``initial_data``, then pump frames while draining the queue — state
+    dicts update the scene, the string ``"STOP"`` ends the loop.
 
-    ``viewer_factory``/``max_iterations`` exist for headless testing.
+    ``viewer_factory`` / ``poll_sleep`` / ``max_iterations`` are hooks for
+    headless tests; defaults reproduce the reference's ~100 Hz poll.
     """
     viewer = viewer_factory(grid_size=initial_data["grid_size"])
     viewer.setup_scene(initial_data["obstacles"], initial_data["plants"],
                        initial_data["rover_pos"])
-    iterations = 0
-    while max_iterations is None or iterations < max_iterations:
-        iterations += 1
+    pumped = 0
+    while max_iterations is None or pumped < max_iterations:
+        pumped += 1
         if not update_queue.empty():
-            message = update_queue.get()
-            if isinstance(message, str) and message == "STOP":
+            msg = update_queue.get()
+            if isinstance(msg, str) and msg == "STOP":
                 break
-            viewer.update_scene(message["plants"], message["rover_pos"],
-                                message.get("stats"))
+            viewer.update_scene(msg["plants"], msg["rover_pos"],
+                                msg.get("stats"))
         viewer.render_step()
         time.sleep(poll_sleep)
     viewer.close()

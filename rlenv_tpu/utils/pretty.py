@@ -1,13 +1,50 @@
-"""Console pretty-printers.
+"""Console reporters for interactive runs.
 
-Format parity with `/root/reference/plantos_utils.py:5-39` (including its
-"Thirsty Spiders" label quirk, kept verbatim for output compatibility)."""
+Emits the exact stdout format the reference's log helpers produce
+(`/root/reference/plantos_utils.py:5-39`, including its "Thirsty Spiders"
+label quirk) so transcripts stay diffable, but is organised as one
+table-driven formatter instead of four hand-rolled print blocks.
+"""
 
 from __future__ import annotations
 
+from typing import Callable, Iterable
 
-def print_step_info(step: int, action: int, reward: float, info: dict):
-    """Formatted single-step report (`plantos_utils.py:5-11`)."""
+# Each row: (keys that must all be present in the info dict, line template
+# rendered with those values). Order matches the reference output order.
+_INFO_FIELDS: tuple[tuple[tuple[str, ...], Callable[..., str]], ...] = (
+    (("rover_position",),
+     lambda pos: f"Rover Position: {pos}"),
+    (("thirsty_plants", "total_plants"),
+     lambda thirsty, total: f"Thirsty Spiders: {thirsty} / {total}"),
+    (("exploration_percentage", "explored_cells", "total_cells"),
+     lambda pct, seen, total:
+     f"Exploration: {float(pct):.1f}% ({seen} / {total} cells)"),
+)
+
+
+def _info_lines(info: dict) -> Iterable[str]:
+    for keys, template in _INFO_FIELDS:
+        if all(k in info for k in keys):
+            yield template(*(info[k] for k in keys))
+
+
+def print_info_dict(info: dict) -> None:
+    """Readable info-dict dump (`plantos_utils.py:22-31`)."""
+    for line in _info_lines(info):
+        print(line)
+
+
+def _banner_block(header: str, footer: str, info: dict,
+                  lead: str = "") -> None:
+    print(lead + header)
+    print_info_dict(info)
+    print(footer)
+
+
+def print_step_info(step: int, action: int, reward: float,
+                    info: dict) -> None:
+    """Single-step report (`plantos_utils.py:5-11`)."""
     print("-" * 20 + f" Step {step} " + "-" * 20)
     print(f"Action: {action}")
     print(f"Reward: {reward:.2f}")
@@ -15,31 +52,15 @@ def print_step_info(step: int, action: int, reward: float, info: dict):
     print("-" * (48 + len(str(step))))
 
 
-def print_reset_info(info: dict, initial: bool = True):
-    """Formatted reset report (`plantos_utils.py:14-19`)."""
+def print_reset_info(info: dict, initial: bool = True) -> None:
+    """Reset report (`plantos_utils.py:14-19`)."""
     title = " Initial State " if initial else " Environment Reset "
-    print("=" * 20 + title + "=" * 20)
-    print_info_dict(info)
-    print("=" * (40 + len(title)))
+    _banner_block("=" * 20 + title + "=" * 20,
+                  "=" * (40 + len(title)), info)
 
 
-def print_info_dict(info: dict):
-    """Readable info-dict dump (`plantos_utils.py:22-31`)."""
-    if "rover_position" in info:
-        print(f"Rover Position: {info['rover_position']}")
-    if "thirsty_plants" in info and "total_plants" in info:
-        print(f"Thirsty Spiders: {info['thirsty_plants']} / "
-              f"{info['total_plants']}")
-    if ("exploration_percentage" in info and "explored_cells" in info
-            and "total_cells" in info):
-        exploration_perc = float(info["exploration_percentage"])
-        print(f"Exploration: {exploration_perc:.1f}% "
-              f"({info['explored_cells']} / {info['total_cells']} cells)")
-
-
-def print_episode_summary(step: int, info: dict):
+def print_episode_summary(step: int, info: dict) -> None:
     """End-of-episode summary (`plantos_utils.py:34-39`)."""
-    print("\n" + "#" * 20 + " Episode Finished " + "#" * 20)
-    print(f"Finished at step {step}.")
-    print_info_dict(info)
-    print("#" * 60 + "\n")
+    _banner_block("#" * 20 + " Episode Finished " + "#" * 20 +
+                  f"\nFinished at step {step}.",
+                  "#" * 60 + "\n", info, lead="\n")
