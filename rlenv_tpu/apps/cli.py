@@ -48,6 +48,48 @@ def _env_config(args) -> EnvConfig:
                      rewards=rewards)
 
 
+def _interactive_menu() -> None:
+    """Prompt-driven front-end over the same trainers the argparse path
+    uses — the third entry style of the reference
+    (`/root/reference/trainingCode.py:461-522`)."""
+    bar = "=" * 60
+    print(f"\n{bar}\nGROW-R / PlantOS Training & Testing\n{bar}")
+    print("\nChoose an option:")
+    print("1. Train with Recurrent PPO (LSTM)")
+    print("2. Train with DQN")
+    print("3. Train with A2C")
+    print("4. Test existing model")
+    choice = input("\nEnter choice (1-4): ").strip()
+
+    if choice == "4":
+        path = input("\nModel path (checkpoint dir or SB3 .zip): ").strip()
+        import os
+        if not (os.path.exists(path) or os.path.exists(path + ".zip")):
+            print(f"Error: model '{path}' not found.")
+            return
+        eps = input("Number of test episodes (default: 3): ").strip()
+        from rlenv_tpu.apps.example_usage import main as run_test
+        run_test(model_path=path, model_type="auto",
+                 episodes=int(eps) if eps else 3, render="rgb_array",
+                 step_delay=0.0)
+        print(f"\n{bar}\nTesting complete!\n{bar}")
+    elif choice in ("1", "2", "3"):
+        algo = {"1": "ppo", "2": "dqn", "3": "a2c"}[choice]
+        envs = input("\nNumber of parallel environments (default: 64): "
+                     ).strip()
+        steps = input("Total timesteps (default: 100000): ").strip()
+        from rlenv_tpu.train.trainer import train
+        curriculum = (CurriculumConfig.a2c() if algo == "a2c"
+                      else CurriculumConfig.ppo_dqn())
+        train(algo=algo, total_timesteps=int(steps) if steps else 100_000,
+              n_envs=int(envs) if envs else 64, use_curriculum=True,
+              env_config=EnvConfig.training(),
+              curriculum_config=curriculum, log_dir=f"logs/{algo}")
+        print(f"\n{bar}\nTraining complete!\n{bar}")
+    else:
+        print("Invalid choice. Exiting.")
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(
         prog="rlenv_tpu", description="TPU-native PlantOS/GROW-R trainer")
@@ -83,7 +125,14 @@ def main(argv=None) -> None:
 
     b = sub.add_parser("bench", help="Run the throughput benchmark")
 
+    sub.add_parser("menu", help="Interactive prompt-driven entry "
+                                "(the reference's input() menu style, "
+                                "trainingCode.py:461-522)")
+
     args = parser.parse_args(argv)
+
+    if args.command == "menu":
+        return _interactive_menu()
 
     if args.command == "train":
         from rlenv_tpu.train.trainer import train

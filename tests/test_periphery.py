@@ -317,6 +317,21 @@ def test_cli_help():
     assert e.value.code == 0
 
 
+def test_cli_interactive_menu(capsys):
+    """The prompt-driven entry style (`trainingCode.py:461-522`): bad model
+    path and invalid choice both exit gracefully."""
+    from unittest import mock
+
+    from rlenv_tpu.apps.cli import main
+
+    with mock.patch("builtins.input", side_effect=["4", "/nonexistent"]):
+        main(["menu"])
+    assert "not found" in capsys.readouterr().out
+    with mock.patch("builtins.input", side_effect=["9"]):
+        main(["menu"])
+    assert "Invalid choice" in capsys.readouterr().out
+
+
 def test_mcts_runner_stats(tmp_path):
     from rlenv_tpu.apps.mcts_runner import run_mcts
     stats = run_mcts(n_episodes=2, n_simulations=4, grid_size=7,
