@@ -104,6 +104,7 @@ def train(algo: str = "a2c",
           log_dir: str = "logs/train",
           models_dir: Optional[str] = None,
           seed: int = 0,
+          init_params: Any = None,
           checkpoint_interval: Optional[int] = None,
           eval_freq: int = 10_000,
           iterations_per_chunk: int = 64,
@@ -121,6 +122,15 @@ def train(algo: str = "a2c",
     trainer = make_trainer(algo, venv, algo_config, total_timesteps)
 
     state = trainer.init(jax.random.PRNGKey(seed))
+    if init_params is not None:
+        # Warm start from an existing policy (e.g. an imported SB3 .zip via
+        # rlenv_tpu.apps.sb3_import) — a continue-training path the
+        # reference lacks entirely (SURVEY.md §5: loads are inference-only).
+        state = dataclasses.replace(
+            state, params=init_params,
+            opt_state=trainer.optimizer.init(init_params))
+        if hasattr(state, "target_params"):
+            state = dataclasses.replace(state, target_params=init_params)
     ckpt = CheckpointManager(os.path.join(models_dir, "checkpoints"))
     if resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)

@@ -48,6 +48,40 @@ def test_train_driver_end_to_end(tmp_path):
     assert result2.timesteps > result.timesteps
 
 
+def test_train_warm_start_init_params(tmp_path):
+    """`train(init_params=...)` continues from a given policy (the SB3
+    checkpoint-continuation workflow, scripts/run_dqn_continue_ref.py)."""
+    from rlenv_tpu.config import DQNConfig
+    from rlenv_tpu.train.trainer import make_trainer, make_venv, train
+
+    env_config = EnvConfig(grid_size=7, num_plants=2, num_obstacles=3,
+                           lidar_range=2, lidar_channels=4, max_steps=20)
+    venv = make_venv(env_config, 4, use_curriculum=False)
+    donor = make_trainer("dqn", venv, DQNConfig(hidden_sizes=(16,),
+                                                learning_starts=0),
+                         total_timesteps=100)
+    donor_params = donor.init(jax.random.PRNGKey(7)).params
+
+    state, result = train(
+        algo="dqn", total_timesteps=4 * 4 * 2, n_envs=4,
+        env_config=env_config,
+        algo_config=DQNConfig(hidden_sizes=(16,), learning_starts=0,
+                              buffer_size=512),
+        log_dir=str(tmp_path / "warm"), seed=0, init_params=donor_params,
+        iterations_per_chunk=2, plot=False, verbose=False)
+    assert result.timesteps >= 4 * 4 * 2
+    # The target net was seeded from the donor (and no target update fired
+    # within these few steps: cadence is 5000//n_envs vec steps), while the
+    # online params trained away from it.
+    for a, b in zip(jax.tree.leaves(donor_params),
+                    jax.tree.leaves(state.target_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(donor_params),
+                       jax.tree.leaves(state.params)))
+
+
 def test_evaluate(tmp_path):
     from rlenv_tpu.config import DQNConfig, RecurrentPPOConfig
     from rlenv_tpu.train.trainer import evaluate, make_venv, make_trainer
