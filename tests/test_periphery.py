@@ -317,6 +317,55 @@ def test_cli_help():
     assert e.value.code == 0
 
 
+def test_gym_vector_env():
+    """gymnasium.vector.VectorEnv adapter: spaces, SAME_STEP autoreset
+    convention, render."""
+    import gymnasium as gym
+
+    from rlenv_tpu.config import EnvConfig
+    from rlenv_tpu.env.gym_vector import PlantOSVectorEnv
+
+    cfg = EnvConfig(grid_size=7, num_plants=2, num_obstacles=3,
+                    lidar_range=2, lidar_channels=4, max_steps=5)
+    venv = PlantOSVectorEnv(num_envs=8, env_config=cfg, seed=0)
+    assert isinstance(venv, gym.vector.VectorEnv)
+    assert venv.observation_space.shape == (8, cfg.obs_dim)
+
+    obs, infos = venv.reset(seed=0)
+    assert obs.shape == (8, cfg.obs_dim) and obs.dtype == np.float32
+
+    done_seen = False
+    for _ in range(6):   # max_steps=5 forces truncation within the loop
+        actions = venv.action_space.sample()
+        obs, rew, term, trunc, infos = venv.step(actions)
+        assert obs.shape == (8, cfg.obs_dim)
+        assert rew.shape == term.shape == trunc.shape == (8,)
+        if (term | trunc).any():
+            done_seen = True
+            # SAME_STEP: obs is already the reset obs; terminal obs in infos
+            assert infos["_final_obs"].any()
+            assert infos["final_obs"].shape == (8, cfg.obs_dim)
+    assert done_seen
+    frame = venv.render()
+    assert frame.shape == (7 * 30, 7 * 30, 3)
+    venv.close()
+
+
+def test_gym_vector_env_curriculum():
+    from rlenv_tpu.config import CurriculumConfig, EnvConfig
+    from rlenv_tpu.env.gym_vector import PlantOSVectorEnv
+
+    cfg = EnvConfig(grid_size=7, num_plants=2, num_obstacles=3,
+                    lidar_range=2, lidar_channels=4, max_steps=5)
+    venv = PlantOSVectorEnv(num_envs=4, env_config=cfg,
+                            curriculum=CurriculumConfig.ppo_dqn())
+    obs, _ = venv.reset(seed=1)
+    for _ in range(6):
+        obs, rew, term, trunc, infos = venv.step(np.zeros(4, np.int64))
+    assert venv.render() is not None
+    venv.close()
+
+
 def test_cli_interactive_menu(capsys):
     """The prompt-driven entry style (`trainingCode.py:461-522`): bad model
     path and invalid choice both exit gracefully."""
