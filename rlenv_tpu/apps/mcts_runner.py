@@ -33,6 +33,7 @@ def run_mcts(n_episodes: int = 50, n_simulations: int = 50,
              parallel: int = 16, save_dir: Optional[str] = "mcts_models",
              render: bool = False, seed: int = 0,
              max_episode_steps: Optional[int] = None,
+             fused: bool = False,
              verbose: bool = True) -> dict:
     """Plan with MCTS over batches of episodes; returns the stats dict
     (same keys as the reference pickles, `mcts_custom_trainer.py:347-353`)."""
@@ -65,8 +66,13 @@ def run_mcts(n_episodes: int = 50, n_simulations: int = 50,
         t0 = time.time()
         for step in range(horizon):
             key, k_search = jax.random.split(key)
-            actions = planner.search_batch(states,
-                                           jax.random.split(k_search, B))
+            if fused:
+                # Packed-state search with the rollout phase as one Pallas
+                # program per simulation (`algos/mcts.py`); TPU fast path.
+                actions = planner.search_batch_fused(states, k_search)
+            else:
+                actions = planner.search_batch(states,
+                                               jax.random.split(k_search, B))
             states, _, rewards, term, trunc, info = v_step(states, actions)
             done = np.asarray(term | trunc)
             r = np.asarray(rewards)
@@ -133,11 +139,13 @@ def main() -> None:
     parser.add_argument("--obstacles", type=int, default=12)
     parser.add_argument("--parallel", type=int, default=16)
     parser.add_argument("--render", action="store_true")
+    parser.add_argument("--fused", action="store_true",
+                        help="Use the Pallas fused search path (TPU)")
     args = parser.parse_args()
     run_mcts(n_episodes=args.episodes, n_simulations=args.simulations,
              grid_size=args.grid_size, num_plants=args.plants,
              num_obstacles=args.obstacles, parallel=args.parallel,
-             render=args.render,
+             render=args.render, fused=args.fused,
              save_dir="mcts_models" if args.mode == "train" else None)
 
 
