@@ -180,8 +180,17 @@ class DQNTrainer:
         batch = state.buffer.sample(k_sample, cfg.batch_size)
 
         q_next = self.model.apply(state.target_params, batch["next_obs"])
+        if cfg.double_q:
+            # Double-DQN (opt-in, DQNConfig.double_q): online net picks the
+            # bootstrap action, target net evaluates it.
+            a_next = jnp.argmax(
+                self.model.apply(state.params, batch["next_obs"]), axis=-1)
+            q_boot = jnp.take_along_axis(q_next, a_next[:, None],
+                                         axis=-1)[:, 0]
+        else:
+            q_boot = jnp.max(q_next, axis=-1)
         target = batch["rewards"] + cfg.gamma * jnp.where(
-            batch["terminated"], 0.0, jnp.max(q_next, axis=-1))
+            batch["terminated"], 0.0, q_boot)
 
         def loss_fn(params):
             q = self.model.apply(params, batch["obs"])

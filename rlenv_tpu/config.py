@@ -191,6 +191,12 @@ class DQNConfig:
     exploration_final_eps: float = 0.05
     max_grad_norm: float = 10.0
     hidden_sizes: Tuple[int, ...] = (512, 512, 256)
+    # Opt-in improvement beyond SB3's vanilla DQN (defaults preserve the
+    # reference's exact algorithm): Double-DQN target — the online net
+    # selects the bootstrap action, the target net evaluates it (reduces
+    # the max-operator overestimation bias that destabilizes greedy
+    # exposure on this dense-penalty reward set, RESULTS.md).
+    double_q: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

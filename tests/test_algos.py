@@ -142,6 +142,33 @@ def test_dqn_train_iterations(venv):
     assert max(jax.tree.leaves(diff)) > 0.0
 
 
+def test_dqn_double_q(venv):
+    """Double-DQN (opt-in) trains, and its target computation differs from
+    vanilla whenever the online argmax disagrees with the target max."""
+    import dataclasses as dc
+
+    base = dict(hidden_sizes=(16,), buffer_size=512, batch_size=64,
+                learning_starts=0, train_freq=2, target_update_interval=8)
+    vanilla = DQNTrainer(venv, DQNConfig(**base), total_timesteps=10_000)
+    double = DQNTrainer(venv, DQNConfig(double_q=True, **base),
+                        total_timesteps=10_000)
+
+    # Shared state with DISTINCT online vs target nets (double-Q only
+    # differs from vanilla when the online argmax disagrees with the
+    # target max, which never happens while the two nets are equal).
+    s = vanilla.init(jax.random.PRNGKey(0))
+    other = vanilla.init(jax.random.PRNGKey(1)).params
+    s = dc.replace(s, target_params=other)
+    s, _ = jax.jit(lambda st: vanilla.train_chunk(st, 2))(s)
+
+    sv, mv = jax.jit(vanilla._gradient_step)(s)
+    sd, md = jax.jit(double._gradient_step)(s)
+    assert np.isfinite(float(mv["loss"])) and np.isfinite(float(md["loss"]))
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(sv.params), jax.tree.leaves(sd.params)))
+
+
 # -- Recurrent PPO -----------------------------------------------------------
 
 def test_recurrent_ppo_train_iteration(venv):
