@@ -231,9 +231,11 @@ class MCTSPlanner:
         as one Pallas program per simulation. Same tree semantics as
         :meth:`search`; takes ONE key (randomness is drawn batch-wide).
 
-        ~7x faster than ``search_batch`` on TPU at the reference planner
-        config (the rollout while_loop, ~90% of the search, collapses from
-        ~35 us per batched env-step to kernel pace)."""
+        2x faster than ``search_batch`` on TPU at the reference planner
+        config (206 ms vs 414 ms per 256-env batched search,
+        runs/mcts_bench_r2.log): the rollout while_loop collapses into one
+        kernel launch per simulation, leaving the per-simulation
+        selection/backprop tree ops as the remaining cost."""
         B = root_states.rover.shape[0]
         if B not in self._fused_cache:
             self._fused_cache[B] = self._build_fused_search(B)
