@@ -93,22 +93,27 @@ def test_a2c_deterministic_policy(venv):
 # -- DQN ---------------------------------------------------------------------
 
 def test_replay_buffer_roundtrip_and_wrap():
-    buf = ReplayBuffer.create(capacity=10, obs_dim=3)
+    # capacity rounds down to S*B = 2 slots x 4 envs = 8 transitions
+    buf = ReplayBuffer.create(capacity=10, obs_dim=3, batch_width=4)
+    assert buf.capacity == 8
     obs = jnp.arange(12, dtype=jnp.float32).reshape(4, 3)
     buf = buf.add_batch(obs, obs + 100, jnp.arange(4, dtype=jnp.int32),
                         jnp.arange(4, dtype=jnp.float32),
                         jnp.array([False, True, False, True]))
-    assert int(buf.size) == 4 and int(buf.pos) == 4
-    # wrap around
-    for _ in range(3):
-        buf = buf.add_batch(obs, obs + 100, jnp.arange(4, dtype=jnp.int32),
+    assert int(buf.size) == 4 and int(buf.slot) == 1
+    # wrap around: 3 more slot writes into a 2-slot ring
+    for step in range(3):
+        buf = buf.add_batch(obs + step, obs + step + 100,
+                            jnp.arange(4, dtype=jnp.int32),
                             jnp.arange(4, dtype=jnp.float32),
                             jnp.zeros(4, bool))
-    assert int(buf.size) == 10 and int(buf.pos) == 6
+    assert int(buf.size) == 8 and int(buf.slot) == 0
     batch = buf.sample(jax.random.PRNGKey(0), 32)
     assert batch["obs"].shape == (32, 3)
     np.testing.assert_allclose(np.asarray(batch["next_obs"]),
                                np.asarray(batch["obs"]) + 100)
+    # the ring holds the LAST two written slots (steps 1 and 2)
+    assert float(batch["obs"].min()) >= 1.0
 
 
 def test_dqn_epsilon_schedule(venv):
