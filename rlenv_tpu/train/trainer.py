@@ -82,6 +82,26 @@ def _steps_per_iteration(trainer, n_envs: int) -> int:
     return cfg.n_steps * n_envs          # A2C / PPO
 
 
+def _buffer_stripped(state):
+    """Checkpoint view of a train state: a dict of its fields with the
+    replay buffer OMITTED. SB3 parity: its ``.zip`` checkpoints exclude
+    the replay buffer too (`trainingCode.py:249-253` saves via
+    CheckpointCallback, whose archives hold policy/optimizer only), and
+    serializing the 2M-transition buffer (~1.7 GB at the 107-dim config)
+    stalls training 10-30 s per snapshot. Resume restarts with an empty
+    buffer that refills from live experience."""
+    d = {f.name: getattr(state, f.name)
+         for f in dataclasses.fields(state)}
+    d.pop("buffer", None)
+    return d
+
+
+def _merge_restored(restored: dict, live_state):
+    """Rebuild a train state from a buffer-stripped checkpoint dict:
+    checkpointed fields restored, buffer (if any) fresh and empty."""
+    return dataclasses.replace(live_state, **restored)
+
+
 @dataclasses.dataclass
 class TrainResult:
     timesteps: int
@@ -133,7 +153,7 @@ def train(algo: str = "a2c",
             state = dataclasses.replace(state, target_params=init_params)
     ckpt = CheckpointManager(os.path.join(models_dir, "checkpoints"))
     if resume and ckpt.latest_step() is not None:
-        state = ckpt.restore(state)
+        state = _merge_restored(ckpt.restore(_buffer_stripped(state)), state)
         if verbose:
             print(f"Resumed from checkpoint step {ckpt.latest_step()}")
 
@@ -168,6 +188,10 @@ def train(algo: str = "a2c",
                 lambda *xs: sum(xs) / len(xs), *all_metrics)
             return state, metrics
     else:
+        # No donate_argnums here: the init state aliases params and
+        # target_params (same buffers), which donation rejects; the
+        # per-chunk copy it would save is milliseconds against
+        # multi-second chunks.
         chunk_fn = jax.jit(
             lambda s: trainer.train_chunk(s, iterations_per_chunk))
 
@@ -191,7 +215,7 @@ def train(algo: str = "a2c",
             scalars.update({f"rollout/{k}": v for k, v in summary.items()})
             tb.scalars(timesteps, scalars)
             if timesteps >= next_ckpt:
-                ckpt.save(timesteps, state)
+                ckpt.save(timesteps, _buffer_stripped(state))
                 next_ckpt += checkpoint_interval
             if verbose:
                 sps = (timesteps - start_steps) / max(time.time() - t0, 1e-9)
@@ -206,7 +230,8 @@ def train(algo: str = "a2c",
         # full train state before propagating, so --resume continues from
         # the interruption instead of step 0.
         try:
-            ckpt.save(int(state.stats.timesteps), state, force=True)
+            ckpt.save(int(state.stats.timesteps), _buffer_stripped(state),
+                      force=True)
             ckpt.wait()
             if verbose:
                 print(f"[{algo}] interrupted — emergency checkpoint saved "
@@ -217,7 +242,7 @@ def train(algo: str = "a2c",
 
     wall = time.time() - t0
     timesteps = int(state.stats.timesteps)
-    ckpt.save(timesteps, state, force=True)
+    ckpt.save(timesteps, _buffer_stripped(state), force=True)
     ckpt.wait()
 
     final_path = os.path.join(models_dir, f"{algo}_final")

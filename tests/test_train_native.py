@@ -82,6 +82,34 @@ def test_train_warm_start_init_params(tmp_path):
                        jax.tree.leaves(state.params)))
 
 
+def test_dqn_checkpoint_resume_buffer_stripped(tmp_path):
+    """DQN checkpoints exclude the replay-buffer payload (SB3 parity) and
+    resume restores params/stats with a fresh empty buffer."""
+    from rlenv_tpu.config import DQNConfig
+    from rlenv_tpu.train.trainer import train
+
+    env_config = EnvConfig(grid_size=7, num_plants=2, num_obstacles=3,
+                           lidar_range=2, lidar_channels=4, max_steps=20)
+    log_dir = str(tmp_path / "dqn")
+    cfg = DQNConfig(hidden_sizes=(16,), learning_starts=0, buffer_size=256,
+                    train_freq=2)
+    first_steps = 2 * 4 * 2 * 2      # train_freq * envs * iters * chunks
+    state, result = train(
+        algo="dqn", total_timesteps=first_steps, n_envs=4,
+        env_config=env_config, algo_config=cfg, log_dir=log_dir, seed=0,
+        iterations_per_chunk=2, checkpoint_interval=first_steps,
+        plot=False, verbose=False)
+    assert result.timesteps >= first_steps
+
+    state2, result2 = train(
+        algo="dqn", total_timesteps=first_steps + 2 * 4 * 2, n_envs=4,
+        env_config=env_config, algo_config=cfg, log_dir=log_dir, seed=0,
+        iterations_per_chunk=2, resume=True, plot=False, verbose=False)
+    assert result2.timesteps > result.timesteps
+    # buffer restarted empty and refilled only from post-resume experience
+    assert 0 < int(state2.buffer.size) <= result2.timesteps - result.timesteps
+
+
 def test_evaluate(tmp_path):
     from rlenv_tpu.config import DQNConfig, RecurrentPPOConfig
     from rlenv_tpu.train.trainer import evaluate, make_venv, make_trainer
