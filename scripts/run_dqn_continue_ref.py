@@ -34,7 +34,12 @@ if __name__ == "__main__":
         n_envs=64,
         use_curriculum=True,
         env_config=env_config,
-        algo_config=DQNConfig(exploration_initial_eps=0.05),
+        # hidden_sizes from the checkpoint itself: the shipped model is the
+        # SB3 MlpPolicy default (256, 256), NOT the net_arch=[512,512,256]
+        # the training-script source claims (`trainingCode.py:244`) — the
+        # artifacts were evidently produced by an earlier script revision.
+        algo_config=DQNConfig(exploration_initial_eps=0.05,
+                              hidden_sizes=runner.model.hidden_sizes),
         curriculum_config=CurriculumConfig.ppo_dqn(),
         log_dir="runs/dqn_tpu_continue_ref",
         seed=0,
