@@ -183,3 +183,83 @@ def load_sb3_policy(zip_path: str, model_type: str = "auto",
         return PolicyRunner(model, {"params": p}, "ppo")
 
     raise ValueError(f"Unknown SB3 model type: {model_type}")
+
+
+# -- optimizer-state import (full-fidelity continue-training) ----------------
+
+def _replace_adam_state(opt_state, count, mu, nu):
+    """Swap every ScaleByAdamState inside an optax state tuple tree."""
+    import optax
+
+    def rec(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+        if isinstance(s, tuple):
+            mapped = [rec(x) for x in s]
+            return type(s)(*mapped) if hasattr(s, "_fields") \
+                else tuple(mapped)
+        return s
+
+    return rec(opt_state)
+
+
+def load_sb3_dqn_optimizer_state(zip_path: str, params, optimizer):
+    """Import the torch Adam moments from an SB3 DQN ``.zip`` into an optax
+    optimizer state matching ``params`` (the tree from
+    :func:`load_sb3_policy`).
+
+    SB3 archives include ``policy.optimizer.pth`` — without it a continued
+    run restarts Adam from zero moments, and the first full-learning-rate
+    steps destroy a converged policy (measured: the shipped
+    ``dqn_improved_final`` collapses from +2589 to −1200 mean return
+    within 1M steps when continued with a fresh optimizer,
+    `runs/dqn_tpu_continue_ref/`). The reference's own checked-in
+    continuation runs implicitly relied on SB3 restoring this state.
+
+    Returns ``(opt_state, archive_lr)``. torch Adam's per-param
+    ``exp_avg``/``exp_avg_sq`` are the SAME biased moments optax's
+    ``scale_by_adam`` tracks as ``mu``/``nu`` (bias correction happens at
+    use time in both), so the transfer is exact; kernels transpose
+    [out, in] -> [in, out] like the weights.
+    """
+    import io as _io
+
+    import torch
+
+    with zipfile.ZipFile(zip_path) as zf:
+        blob = torch.load(_io.BytesIO(zf.read("policy.optimizer.pth")),
+                          map_location="cpu", weights_only=True)
+    state, groups = blob["state"], blob["param_groups"]
+    archive_lr = float(groups[0]["lr"])
+
+    # torch parameter order for the q_net Linear stack: weight, bias per
+    # layer, trunk layers first, then the head — mirror of _tower/_linear.
+    tree = params["params"]
+    layers = [tree["trunk"][k] for k in sorted(
+        tree["trunk"], key=lambda n: int(n.split("_")[1]))]
+    layers.append(tree["q_head"])
+
+    def moment(field):
+        out_layers = []
+        idx = 0
+        for _ in layers:
+            w = jnp.asarray(np.asarray(state[idx][field]).T)   # [in, out]
+            b = jnp.asarray(np.asarray(state[idx + 1][field]))
+            out_layers.append({"kernel": w, "bias": b})
+            idx += 2
+        trunk = {f"dense_{i}": p for i, p in enumerate(out_layers[:-1])}
+        return {"params": {"trunk": trunk, "q_head": out_layers[-1]}}
+
+    n_torch_params = 2 * len(layers)
+    if len(state) != n_torch_params:
+        raise ValueError(
+            f"optimizer archive has {len(state)} parameter states, "
+            f"expected {n_torch_params} for this q_net")
+    count = jnp.asarray(int(state[0]["step"]), jnp.int32)
+    mu = moment("exp_avg")
+    nu = moment("exp_avg_sq")
+    chex_shapes = jax.tree.map(lambda a, b: a.shape == b.shape, mu, params)
+    if not all(jax.tree.leaves(chex_shapes)):
+        raise ValueError("optimizer moments do not match parameter shapes")
+    return _replace_adam_state(optimizer.init(params), count, mu, nu), \
+        archive_lr

@@ -125,6 +125,7 @@ def train(algo: str = "a2c",
           models_dir: Optional[str] = None,
           seed: int = 0,
           init_params: Any = None,
+          init_opt_state: Any = None,
           checkpoint_interval: Optional[int] = None,
           eval_freq: int = 10_000,
           iterations_per_chunk: int = 64,
@@ -148,7 +149,8 @@ def train(algo: str = "a2c",
         # reference lacks entirely (SURVEY.md §5: loads are inference-only).
         state = dataclasses.replace(
             state, params=init_params,
-            opt_state=trainer.optimizer.init(init_params))
+            opt_state=(init_opt_state if init_opt_state is not None
+                       else trainer.optimizer.init(init_params)))
         if hasattr(state, "target_params"):
             state = dataclasses.replace(state, target_params=init_params)
     ckpt = CheckpointManager(os.path.join(models_dir, "checkpoints"))

@@ -12,6 +12,8 @@ import io
 import json
 import zipfile
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -62,6 +64,38 @@ def test_load_reference_dqn_zip():
     np.testing.assert_allclose(q, q_ref, atol=1e-3)
     assert (q.argmax(1) == q_ref.argmax(1)).all()
     assert (runner.act(obs) == q_ref.argmax(1)).all()
+
+
+def test_load_reference_dqn_optimizer_state():
+    """The shipped archive's torch Adam moments import exactly: shapes
+    match the converted params, count carries the training step, and the
+    state drives an optax update (small steps, since nu is converged)."""
+    import optax
+
+    from rlenv_tpu.apps.sb3_import import (load_sb3_dqn_optimizer_state,
+                                           load_sb3_policy)
+
+    runner = load_sb3_policy(REF_DQN_ZIP, "dqn")
+    optimizer = optax.chain(optax.clip_by_global_norm(10.0),
+                            optax.adam(5e-4))
+    opt_state, archive_lr = load_sb3_dqn_optimizer_state(
+        REF_DQN_ZIP, runner.params, optimizer)
+    assert archive_lr == pytest.approx(5e-4)
+
+    adam_states = [s for s in jax.tree.leaves(
+        opt_state, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState))
+        if isinstance(x := s, optax.ScaleByAdamState)]
+    assert len(adam_states) == 1
+    st = adam_states[0]
+    assert int(st.count) > 0
+    for m, p in zip(jax.tree.leaves(st.mu), jax.tree.leaves(runner.params)):
+        assert m.shape == p.shape
+    assert all(float(v.max()) >= 0 for v in jax.tree.leaves(st.nu))
+
+    grads = jax.tree.map(jnp.ones_like, runner.params)
+    updates, _ = optimizer.update(grads, opt_state, runner.params)
+    assert all(np.isfinite(np.asarray(u)).all()
+               for u in jax.tree.leaves(updates))
 
 
 def test_a2c_zip_roundtrip(tmp_path):
