@@ -538,12 +538,18 @@ def _make_transition_t(config: EnvConfig, Bb: int):
         do_water = ~is_move & (ent_r == ENTITY_PLANT_THIRSTY)
 
         # --- re-align to the new rover frame ---
+        # Moves are single-axis, so the combined shift is one of
+        # {0, +-1, +-g}: a single 4-way select over pre-shifted copies of
+        # the ORIGINAL grid (instead of chaining an x-select into a
+        # y-select, which serializes two full-grid select passes).
         mdx = tx - rx
         mdy = ty - ry
-        r1 = jnp.where(mdx == -1, rot(rolled, -g),
-                       jnp.where(mdx == 1, rot(rolled, g), rolled))
-        r2 = jnp.where(mdy == -1, rot(r1, -1),
-                       jnp.where(mdy == 1, rot(r1, 1), r1))
+        d = mdx * g + mdy                               # [1, Bb]
+        r2 = jnp.where(d == -g, rot(rolled, -g),
+                       jnp.where(d == g, rot(rolled, g),
+                                 jnp.where(d == -1, rot(rolled, -1),
+                                           jnp.where(d == 1, rot(rolled, 1),
+                                                     rolled))))
 
         # --- lane-0 (now row-0) updates, as in _make_transition ---
         raw_t = (tcell >> _RAW_SHIFT) & _RAW_MAX

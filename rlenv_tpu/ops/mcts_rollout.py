@@ -161,12 +161,16 @@ def _make_rollout_transition_t(config: EnvConfig):
                       R.water_empty))
         do_water = ~is_move & (ent_r == ENTITY_PLANT_THIRSTY)
 
+        # Single-axis moves: one 4-way select over pre-shifted copies of
+        # the original grid (see fused_step._make_transition_t).
         mdx = tx - rx
         mdy = ty - ry
-        r1_ = jnp.where(mdx == -1, rot(rolled, -g),
-                        jnp.where(mdx == 1, rot(rolled, g), rolled))
-        r2_ = jnp.where(mdy == -1, rot(r1_, -1),
-                        jnp.where(mdy == 1, rot(r1_, 1), r1_))
+        d = mdx * g + mdy
+        r2_ = jnp.where(d == -g, rot(rolled, -g),
+                        jnp.where(d == g, rot(rolled, g),
+                                  jnp.where(d == -1, rot(rolled, -1),
+                                            jnp.where(d == 1, rot(rolled, 1),
+                                                      rolled))))
 
         raw_t = (tcell >> _RAW_SHIFT) & _RAW_MAX
         inc = (jnp.where(valid & (vclamp_t < 10),
