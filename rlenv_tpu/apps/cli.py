@@ -48,6 +48,17 @@ def _env_config(args) -> EnvConfig:
                      rewards=rewards)
 
 
+def _int_or(text: str, default: int) -> int:
+    """Parse menu input, falling back to the documented default on
+    empty/non-numeric input (the reference menu crashes here)."""
+    try:
+        return int(text)
+    except (TypeError, ValueError):
+        if text:
+            print(f"  (not a number — using default {default})")
+        return default
+
+
 def _interactive_menu() -> None:
     """Prompt-driven front-end over the same trainers the argparse path
     uses — the third entry style of the reference
@@ -70,7 +81,7 @@ def _interactive_menu() -> None:
         eps = input("Number of test episodes (default: 3): ").strip()
         from rlenv_tpu.apps.example_usage import main as run_test
         run_test(model_path=path, model_type="auto",
-                 episodes=int(eps) if eps else 3, render="rgb_array",
+                 episodes=_int_or(eps, 3), render="rgb_array",
                  step_delay=0.0)
         print(f"\n{bar}\nTesting complete!\n{bar}")
     elif choice in ("1", "2", "3"):
@@ -81,8 +92,8 @@ def _interactive_menu() -> None:
         from rlenv_tpu.train.trainer import train
         curriculum = (CurriculumConfig.a2c() if algo == "a2c"
                       else CurriculumConfig.ppo_dqn())
-        train(algo=algo, total_timesteps=int(steps) if steps else 100_000,
-              n_envs=int(envs) if envs else 64, use_curriculum=True,
+        train(algo=algo, total_timesteps=_int_or(steps, 100_000),
+              n_envs=_int_or(envs, 64), use_curriculum=True,
               env_config=EnvConfig.training(),
               curriculum_config=curriculum, log_dir=f"logs/{algo}")
         print(f"\n{bar}\nTraining complete!\n{bar}")

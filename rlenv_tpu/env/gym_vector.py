@@ -84,6 +84,9 @@ class PlantOSVectorEnv(VectorEnv):
 
     def step(self, actions) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
                                      np.ndarray, Dict]:
+        if self._states is None:
+            raise RuntimeError(
+                "reset() must be called before step() (and after close())")
         import jax.numpy as jnp
         actions = jnp.asarray(np.asarray(actions), jnp.int32)
         self._states, obs, rew, term, trunc, info = self._jit_step(

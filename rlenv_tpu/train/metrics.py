@@ -112,21 +112,39 @@ class TrainingLogWriter:
         self.path = os.path.join(log_dir, "training_log.txt")
         self.eval_freq = eval_freq
         self._last_logged = 0
+        self._drained = 0          # episodes consumed from the ring log
         self.best_mean_exploration = 0.0
         self.maze_completion_count = 0
 
-    def maybe_log(self, timesteps: int, stats: EpisodeStats) -> None:
+    def maybe_log(self, timesteps: int, stats: EpisodeStats,
+                  mazes_completed: Optional[int] = None) -> None:
+        """Append one eval line if due AND new episodes finished.
+
+        ``mazes_completed`` is the curriculum's device-tracked success total
+        (``CurriculumState.successful_explorations`` summed over envs) —
+        the reference increments its counter on threshold success
+        (`trainingCode.py:55-62`). Without a curriculum we fall back to
+        counting fully-explored episodes. Windows with no NEW episodes are
+        skipped entirely, so the log never repeats frozen values as fresh.
+        """
         if timesteps - self._last_logged < self.eval_freq:
             return
-        self._last_logged = timesteps
         pos = int(stats.log_pos)
-        if pos == 0:
-            return
+        new = pos - self._drained
+        if new <= 0:
+            return                  # nothing new — don't re-log stale values
+        self._last_logged = timesteps
         K = stats.log_return.shape[0]
-        take = min(pos, 10)
+        take = min(new, K, 10)      # mean over the newest <=10 fresh episodes
         idx = (np.arange(pos - take, pos) % K)
         explorations = np.asarray(stats.log_exploration)[idx]
-        self.maze_completion_count += int((explorations >= 100.0).sum())
+        if mazes_completed is not None:
+            self.maze_completion_count = int(mazes_completed)
+        else:
+            all_new = (np.arange(max(pos - min(new, K), 0), pos) % K)
+            self.maze_completion_count += int(
+                (np.asarray(stats.log_exploration)[all_new] >= 100.0).sum())
+        self._drained = pos
         mean_exploration = float(explorations.mean())
         with open(self.path, "a") as f:
             f.write(f"[Step {timesteps}] Mean Exploration: "

@@ -43,7 +43,9 @@ def make_venv(env_config: EnvConfig, n_envs: int, use_curriculum: bool,
 
     ``fused=True`` steps the batch with the single-program Pallas kernel
     (`rlenv_tpu.ops.fused_step`) instead of the multi-kernel XLA path;
-    bit-identical outputs, TPU only (no curriculum support yet)."""
+    bit-identical outputs (curriculum included, via
+    FusedCurriculumVecPlantOS). Pallas/Mosaic lowers on TPU; elsewhere the
+    kernel falls back to interpret mode (slow, tests only)."""
     env = PlantOS(env_config)
     if use_curriculum:
         if fused:
@@ -89,7 +91,13 @@ def _buffer_stripped(state):
     CheckpointCallback, whose archives hold policy/optimizer only), and
     serializing the 2M-transition buffer (~1.7 GB at the 107-dim config)
     stalls training 10-30 s per snapshot. Resume restarts with an empty
-    buffer that refills from live experience."""
+    buffer that refills from live experience.
+
+    Caveat (shared with SB3 when resuming without a saved buffer): a resume
+    past ``learning_starts`` immediately samples from only the freshly
+    collected slots, so the first few gradient steps see highly correlated
+    data until the ring refills; the effect washes out within
+    ``learning_starts`` steps and matches reference-stack behavior."""
     d = {f.name: getattr(state, f.name)
          for f in dataclasses.fields(state)}
     d.pop("buffer", None)
@@ -128,6 +136,8 @@ def train(algo: str = "a2c",
           init_opt_state: Any = None,
           checkpoint_interval: Optional[int] = None,
           eval_freq: int = 10_000,
+          eval_interval: Optional[int] = None,
+          n_eval_episodes: int = 10,
           iterations_per_chunk: int = 64,
           program_split: int = 0,
           resume: bool = False,
@@ -155,7 +165,18 @@ def train(algo: str = "a2c",
             state = dataclasses.replace(state, target_params=init_params)
     ckpt = CheckpointManager(os.path.join(models_dir, "checkpoints"))
     if resume and ckpt.latest_step() is not None:
-        state = _merge_restored(ckpt.restore(_buffer_stripped(state)), state)
+        try:
+            restored = ckpt.restore(_buffer_stripped(state))
+        except (ValueError, KeyError):
+            # Checkpoint written by the pre-round-3 FULL-state format (the
+            # whole train-state pytree, buffer included). Restore against a
+            # full template, then drop the buffer: training resumes with an
+            # empty buffer either way (SB3 parity, see _buffer_stripped).
+            full = {f.name: getattr(state, f.name)
+                    for f in dataclasses.fields(state)}
+            restored = ckpt.restore(full)
+            restored.pop("buffer", None)
+        state = _merge_restored(restored, state)
         if verbose:
             print(f"Resumed from checkpoint step {ckpt.latest_step()}")
 
@@ -204,6 +225,52 @@ def train(algo: str = "a2c",
     checkpoint_interval = checkpoint_interval or max(
         total_timesteps // 10, steps_per_iter * iterations_per_chunk)
     next_ckpt = checkpoint_interval
+    # Eval-driven best-model capture (SB3 EvalCallback(best_model_save_path)
+    # pattern, `trainingCode.py:188-194`): periodic deterministic evaluation;
+    # whenever mean eval return improves, snapshot params to models/best_model.
+    next_eval = eval_interval or (total_timesteps + 1)
+    best_eval_return = -float("inf")
+    best_model_path = os.path.join(models_dir, "best_model")
+
+    def _maybe_eval(state, timesteps):
+        nonlocal next_eval, best_eval_return
+        if timesteps < next_eval:
+            return
+        while next_eval <= timesteps:
+            next_eval += eval_interval
+        mean_ret, std_ret = evaluate(
+            trainer, state, n_eval_episodes=n_eval_episodes,
+            max_steps=env_config.max_steps, seed=seed + 1000)
+        tb.scalars(timesteps, {"eval/mean_return": mean_ret,
+                               "eval/std_return": std_ret})
+        if mean_ret > best_eval_return:
+            best_eval_return = mean_ret
+            save_params(best_model_path, state.params, metadata={
+                "model_type": ("ppo" if algo in ("ppo", "recurrent_ppo")
+                               else algo),
+                "eval_mean_return": mean_ret,
+                "eval_std_return": std_ret,
+                "timesteps": timesteps,
+                "obs_dim": venv.obs_dim,
+                "num_actions": venv.num_actions,
+            })
+            if verbose:
+                print(f"[{algo}] new best model at step {timesteps:,}: "
+                      f"eval return {mean_ret:.1f} ± {std_ret:.1f}",
+                      flush=True)
+        elif verbose:
+            print(f"[{algo}] eval at step {timesteps:,}: "
+                  f"{mean_ret:.1f} ± {std_ret:.1f} "
+                  f"(best {best_eval_return:.1f})", flush=True)
+
+    def _mazes_completed(state) -> Optional[int]:
+        # Curriculum threshold successes tracked on device
+        # (`CurriculumState.successful_explorations`); None without one.
+        env_state = state.env_state
+        if hasattr(env_state, "successful_explorations"):
+            return int(np.asarray(
+                env_state.successful_explorations).sum())
+        return None
 
     t0 = time.time()
     start_steps = int(state.stats.timesteps)
@@ -212,10 +279,12 @@ def train(algo: str = "a2c",
             state, metrics = run_chunk(state)
             timesteps = int(state.stats.timesteps)
             summary = monitor.drain(state.stats)
-            train_log.maybe_log(timesteps, state.stats)
+            train_log.maybe_log(timesteps, state.stats,
+                                mazes_completed=_mazes_completed(state))
             scalars = {f"train/{k}": float(v) for k, v in metrics.items()}
             scalars.update({f"rollout/{k}": v for k, v in summary.items()})
             tb.scalars(timesteps, scalars)
+            _maybe_eval(state, timesteps)
             if timesteps >= next_ckpt:
                 ckpt.save(timesteps, _buffer_stripped(state))
                 next_ckpt += checkpoint_interval

@@ -126,8 +126,18 @@ def worker(coordinator: str, num_processes: int, process_id: int) -> None:
           f"{num_envs} envs, metrics={local}", flush=True)
 
 
-def launch(num_processes: int, port: int = 12423) -> None:
-    coordinator = f"127.0.0.1:{port}"
+def _free_port() -> int:
+    """Bind port 0 to let the OS pick a free port for the coordinator —
+    a fixed port is a flake source when runs overlap (stale listener =>
+    jax.distributed.initialize hangs until timeout)."""
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def launch(num_processes: int, port: int = 0) -> None:
+    coordinator = f"127.0.0.1:{port or _free_port()}"
     procs = []
     for i in range(num_processes):
         env = dict(os.environ)

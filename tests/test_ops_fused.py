@@ -46,7 +46,7 @@ def test_pack_unpack_roundtrip(envs):
     _assert_state_equal(states, pack_state(states, g), g)
 
 
-def test_fused_step_parity(envs):
+def _step_parity(envs, horizon):
     venv, fenv = envs
     g = venv.env.config.grid_size
     key = jax.random.PRNGKey(0)
@@ -58,7 +58,7 @@ def test_fused_step_parity(envs):
     fused_step = fenv.step  # interpret-mode pallas: run uncompiled
 
     rng = np.random.default_rng(7)
-    for t in range(60):  # > max_steps: exercises auto-reset
+    for t in range(horizon):
         # Bias toward movement but include watering.
         actions = jnp.asarray(rng.integers(0, 5, size=N_ENVS), jnp.int32)
         ref_states, ref_obs, ref_r, ref_te, ref_tr, ref_info = ref_step(
@@ -80,6 +80,17 @@ def test_fused_step_parity(envs):
             np.asarray(ref_info["final_obs"]),
             np.asarray(f_info["final_obs"]), err_msg=f"final_obs t={t}")
         _assert_state_equal(ref_states, flat, g)
+
+
+def test_fused_step_parity_smoke(envs):
+    """Short-horizon bit-exactness (fast path; no auto-reset coverage)."""
+    _step_parity(envs, 10)
+
+
+@pytest.mark.slow
+def test_fused_step_parity(envs):
+    """Full-horizon bit-exactness incl. auto-reset (> max_steps=40)."""
+    _step_parity(envs, 60)
 
 
 def test_fused_watering_parity(envs):
@@ -109,9 +120,7 @@ def test_train_a2c_fused(tmp_path, use_curriculum):
     assert result.timesteps >= 160
 
 
-def test_fused_curriculum_parity():
-    """FusedCurriculumVecPlantOS == CurriculumVecPlantOS, bit-exact,
-    across threshold updates, maze reuse and persistent visit carry."""
+def _curriculum_parity(horizon):
     from rlenv_tpu.config import CurriculumConfig
     from rlenv_tpu.env.curriculum import CurriculumVecPlantOS
     from rlenv_tpu.env.fused_vector import FusedCurriculumVecPlantOS
@@ -129,7 +138,7 @@ def test_fused_curriculum_parity():
 
     ref_step = jax.jit(ref.step)
     rng = np.random.default_rng(11)
-    for t in range(70):  # two+ episodes: exercises curriculum resets
+    for t in range(horizon):
         actions = jnp.asarray(rng.integers(0, 5, size=N_ENVS), jnp.int32)
         ref_c, ref_obs, ref_r, ref_te, ref_tr, ref_i = ref_step(ref_c, actions)
         fus_c, fus_obs, f_r, f_te, f_tr, f_i = fus.step(fus_c, actions)
@@ -151,6 +160,20 @@ def test_fused_curriculum_parity():
         np.testing.assert_array_equal(
             np.asarray(ref_c.episodes_on_maze),
             np.asarray(fus_c.episodes_on_maze))
+
+
+def test_fused_curriculum_parity_smoke():
+    """Short-horizon fused-vs-XLA curriculum bit-exactness (fast path;
+    within-episode only — resets are covered by the slow variant)."""
+    _curriculum_parity(10)
+
+
+@pytest.mark.slow
+def test_fused_curriculum_parity():
+    """FusedCurriculumVecPlantOS == CurriculumVecPlantOS, bit-exact,
+    across threshold updates, maze reuse and persistent visit carry
+    (70 steps > 2 episodes at max_steps=30)."""
+    _curriculum_parity(70)
 
 
 def test_fused_rollout_matches_per_step(envs):

@@ -97,6 +97,7 @@ def test_sharded_a2c_training_step():
                                    atol=2e-4, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_multihost_two_process_demo():
     """True multi-HOST execution: two separate processes, each owning 4 CPU
     devices, joined by jax.distributed into one 8-device ('data','model')
