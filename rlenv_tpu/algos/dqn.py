@@ -209,7 +209,18 @@ class DQNTrainer:
 
     # -- learning -----------------------------------------------------------
 
-    def _gradient_step(self, state: DQNState) -> Tuple[DQNState, Dict]:
+    def _gradient_step(self, state: DQNState,
+                       mask: jnp.ndarray | None = None
+                       ) -> Tuple[DQNState, Dict]:
+        """One Huber-loss Q-update on a sampled batch.
+
+        ``mask`` (bool scalar) gates whether the update is APPLIED: when
+        False the params/opt-state pass through unchanged. Computing the
+        update unconditionally and masking the apply keeps the training
+        chunk free of ``lax.cond`` over the multi-GB replay buffer — the
+        branch-free form XLA can alias in place through the scan — and the
+        wasted FLOPs are one batch-64 MLP pass (~0.8 ms) per iteration
+        during the short ``learning_starts`` warmup only."""
         cfg = self.config
         key, k_sample = jax.random.split(state.key)
         batch = state.buffer.sample(k_sample, cfg.batch_size)
@@ -237,7 +248,14 @@ class DQNTrainer:
         updates, opt_state = self.optimizer.update(grads, state.opt_state,
                                                    state.params)
         params = optax.apply_updates(state.params, updates)
-        return dataclasses.replace(state, params=params,
+        if mask is not None:
+            params = jax.tree.map(
+                lambda new, old: jnp.where(mask, new, old),
+                params, state.params)
+            opt_state = jax.tree.map(
+                lambda new, old: jnp.where(mask, new, old),
+                opt_state, state.opt_state)
+        return dataclasses.replace(state, params=params, key=key,
                                    opt_state=opt_state), dict(loss=loss)
 
     def _maybe_update_target(self, state: DQNState) -> DQNState:
@@ -251,7 +269,13 @@ class DQNTrainer:
 
     def train_iteration(self, state: DQNState) -> Tuple[DQNState, Dict]:
         """`train_freq` vec-env collect steps, then `gradient_steps`
-        updates (skipped while warming up, `learning_starts`)."""
+        updates (masked out while warming up, `learning_starts`).
+
+        The warmup gate is a masked apply rather than ``lax.cond``: a cond
+        whose operands include the multi-GB replay buffer defeats XLA's
+        in-place buffer aliasing through the chunk scan (each iteration
+        re-materializes the buffer), while the masked form keeps the loop
+        branch-free and alias-friendly."""
         cfg = self.config
 
         def collect(s, _):
@@ -259,19 +283,14 @@ class DQNTrainer:
             return self._maybe_update_target(s), None
         state, _ = jax.lax.scan(collect, state, None, length=cfg.train_freq)
 
-        def do_update(s):
-            def gstep(s2, _):
-                s2, m = self._gradient_step(s2)
-                return s2, m["loss"]
-            s, losses = jax.lax.scan(gstep, s, None,
-                                     length=cfg.gradient_steps)
-            return s, losses.mean()
-
-        def skip(s):
-            return s, jnp.float32(0)
-
         warm = state.stats.timesteps >= cfg.learning_starts
-        state, loss = jax.lax.cond(warm, do_update, skip, state)
+
+        def gstep(s2, _):
+            s2, m = self._gradient_step(s2, mask=warm)
+            return s2, m["loss"]
+        state, losses = jax.lax.scan(gstep, state, None,
+                                     length=cfg.gradient_steps)
+        loss = jnp.where(warm, losses.mean(), 0.0)
         return state, dict(loss=loss, epsilon=self.epsilon(
             state.stats.timesteps))
 

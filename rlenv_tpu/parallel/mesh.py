@@ -63,6 +63,25 @@ def batch_sharding(mesh: Mesh, tree):
     return jax.tree.map(spec, tree)
 
 
+def shard_axis(tree, mesh: Mesh, axis: int, name: str = "data"):
+    """Shard every leaf's ``axis`` over a mesh axis; leaves with fewer dims
+    (e.g. scalar counters) are replicated.
+
+    Used for the DQN replay buffer, whose slot-major layout puts the env
+    (batch) dimension at axis 1 (``[S, B, ...]``): sharding axis 1 over
+    'data' co-locates each env's transitions with the chip stepping it, so
+    buffer writes are device-local and only the batch-64 sample gather
+    crosses chips."""
+    def to_sharded(x):
+        nd = np.ndim(x)
+        if nd > axis:
+            spec = [None] * nd
+            spec[axis] = name
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        return jax.device_put(x, NamedSharding(mesh, P(*([None] * nd))))
+    return jax.tree.map(to_sharded, tree)
+
+
 def shard_params(params, mesh: Mesh):
     """Tensor-parallel placement: shard each kernel's last (output) axis
     over 'model' when divisible, replicate everything else."""

@@ -152,17 +152,31 @@ def train(algo: str = "a2c",
                      fused=fused)
     trainer = make_trainer(algo, venv, algo_config, total_timesteps)
 
-    state = trainer.init(jax.random.PRNGKey(seed))
+    # Jitted init: ONE compiled program (persistently cached) instead of a
+    # long chain of eager op-by-op dispatches — through the remote-TPU
+    # tunnel the eager path took ~4 min per process start.
+    state = jax.jit(trainer.init)(jax.random.PRNGKey(seed))
+    if hasattr(state, "target_params"):
+        # De-alias target_params from params (jitted init may emit one
+        # buffer for both) so the chunk can donate its input state.
+        state = dataclasses.replace(
+            state, target_params=jax.tree.map(jnp.copy, state.params))
     if init_params is not None:
         # Warm start from an existing policy (e.g. an imported SB3 .zip via
         # rlenv_tpu.apps.sb3_import) — a continue-training path the
         # reference lacks entirely (SURVEY.md §5: loads are inference-only).
+        # Copy the provided trees: the chunk donates its input state, which
+        # would otherwise delete the caller's arrays out from under them.
+        init_params = jax.tree.map(jnp.copy, init_params)
         state = dataclasses.replace(
             state, params=init_params,
-            opt_state=(init_opt_state if init_opt_state is not None
+            opt_state=(jax.tree.map(jnp.copy, init_opt_state)
+                       if init_opt_state is not None
                        else trainer.optimizer.init(init_params)))
         if hasattr(state, "target_params"):
-            state = dataclasses.replace(state, target_params=init_params)
+            state = dataclasses.replace(
+                state,
+                target_params=jax.tree.map(jnp.copy, init_params))
     ckpt = CheckpointManager(os.path.join(models_dir, "checkpoints"))
     if resume and ckpt.latest_step() is not None:
         try:
@@ -211,12 +225,13 @@ def train(algo: str = "a2c",
                 lambda *xs: sum(xs) / len(xs), *all_metrics)
             return state, metrics
     else:
-        # No donate_argnums here: the init state aliases params and
-        # target_params (same buffers), which donation rejects; the
-        # per-chunk copy it would save is milliseconds against
-        # multi-second chunks.
+        # Donating the carried train state lets XLA update the replay
+        # buffer (DQN: ~1.7 GB at the reference config) in place across
+        # chunk calls instead of copying it; init de-aliases
+        # params/target_params above so donation is legal.
         chunk_fn = jax.jit(
-            lambda s: trainer.train_chunk(s, iterations_per_chunk))
+            lambda s: trainer.train_chunk(s, iterations_per_chunk),
+            donate_argnums=0)
 
         def run_chunk(state):
             return chunk_fn(state)

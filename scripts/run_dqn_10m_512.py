@@ -19,6 +19,7 @@ from rlenv_tpu.config import CurriculumConfig, EnvConfig, RewardConfig
 from rlenv_tpu.train.trainer import train
 
 if __name__ == "__main__":
+    import os
     env_config = EnvConfig.training(rewards=RewardConfig.dqn())
     state, result = train(
         algo="dqn",
@@ -27,10 +28,15 @@ if __name__ == "__main__":
         use_curriculum=True,
         env_config=env_config,
         curriculum_config=CurriculumConfig.ppo_dqn(),
-        log_dir="runs/dqn_tpu_10m_512env",
-        seed=0,
+        log_dir=os.environ.get("DQN_LOG_DIR", "runs/dqn_tpu_10m_512env"),
+        seed=int(os.environ.get("DQN_SEED", 0)),
         iterations_per_chunk=64,
         checkpoint_interval=500_000,
+        # Eval-driven best-model capture: DQN peaks around 6-8M steps and
+        # decays at the epsilon floor (RESULTS.md); models/best_model holds
+        # the peak policy.
+        eval_interval=500_000,
+        n_eval_episodes=16,
         resume=True,
     )
     print("DONE", result)
