@@ -24,13 +24,21 @@ def record_episode(out_path: str, policy: str = "random",
                    env_config: Optional[EnvConfig] = None,
                    max_steps: int = 300, fps: int = 15,
                    frame_stride: int = 2, seed: int = 0,
-                   cell_size: int = 20) -> dict:
-    """Roll one episode and write an animated GIF; returns episode stats."""
+                   cell_size: int = 20,
+                   assets_dir: Optional[str] = None) -> dict:
+    """Roll one episode and write an animated GIF; returns episode stats.
+
+    ``assets_dir`` enables the textured-sprite pass: the directory is
+    searched (then its parent) for the reference's five texture files —
+    pass ``/root/reference/assets`` to render with the reference's shipped
+    sprites (`plantos_env_new.py:650-695`)."""
     from PIL import Image
 
     from rlenv_tpu.env.core import PlantOS
     from rlenv_tpu.render.render2d import render_frame
+    from rlenv_tpu.render.assets import load_assets
 
+    assets = load_assets(assets_dir, cell_size) if assets_dir else None
     cfg = env_config or EnvConfig.training()
     env = PlantOS(cfg)
     step = jax.jit(env.step)
@@ -56,7 +64,7 @@ def record_episode(out_path: str, policy: str = "random",
         if t % frame_stride == 0:
             frames.append(Image.fromarray(render_frame(
                 state, cfg.lidar_channels, cfg.lidar_range,
-                cell_size=cell_size)))
+                cell_size=cell_size, assets=assets)))
         key, k = jax.random.split(key)
         if planner is not None:
             batched = jax.tree.map(lambda x: x[None], state)
@@ -72,7 +80,7 @@ def record_episode(out_path: str, policy: str = "random",
         if bool(term) or bool(trunc):
             frames.append(Image.fromarray(render_frame(
                 state, cfg.lidar_channels, cfg.lidar_range,
-                cell_size=cell_size)))
+                cell_size=cell_size, assets=assets)))
             break
 
     frames[0].save(out_path, save_all=True, append_images=frames[1:],
@@ -92,9 +100,12 @@ def main() -> None:
     p.add_argument("--model-path", type=str, default=None)
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--assets-dir", type=str, default=None,
+                   help="Texture directory (e.g. /root/reference/assets)")
     args = p.parse_args()
     record_episode(args.out, policy=args.policy, model_path=args.model_path,
-                   max_steps=args.steps, seed=args.seed)
+                   max_steps=args.steps, seed=args.seed,
+                   assets_dir=args.assets_dir)
 
 
 if __name__ == "__main__":
