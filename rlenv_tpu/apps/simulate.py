@@ -30,8 +30,14 @@ def cleanup_viewer_process() -> None:
     if _viewer_process is not None and _viewer_process.is_alive():
         if _update_queue is not None:
             _update_queue.put("STOP")
-        _viewer_process.terminate()
-        _viewer_process.join(timeout=2)
+            # Let the viewer drain the sentinel and finish cleanly (the
+            # software backend writes its session GIF on quit); terminate
+            # only as the reference's last-resort safety net
+            # (`gradioUI.py:17-24`).
+            _viewer_process.join(timeout=2)
+        if _viewer_process.is_alive():
+            _viewer_process.terminate()
+            _viewer_process.join(timeout=2)
     _viewer_process = None
     _update_queue = None
 
@@ -39,21 +45,34 @@ def cleanup_viewer_process() -> None:
 atexit.register(cleanup_viewer_process)
 
 
-def start_3d_viewer(initial_data: dict) -> None:
-    """Spawn the Ursina viewer subprocess (`gradioUI.py:30-45`).
+def _software_viewer_factory(grid_size: int):
+    """Viewer over the built-in software rasterizer backend (no Ursina,
+    no display; set RLENV_VIEWER3D_GIF to record the session)."""
+    from rlenv_tpu.render.stage_software import SoftwareStage
+    from rlenv_tpu.render.viewer3d import PlantOS3DViewer
+    return PlantOS3DViewer(grid_size, stage_factory=SoftwareStage)
 
-    Silently skipped when Ursina is unavailable."""
+
+def start_3d_viewer(initial_data: dict) -> None:
+    """Spawn the 3-D viewer subprocess (`gradioUI.py:30-45`).
+
+    Backend selection: the Ursina engine when installed (the reference's
+    stack), otherwise the built-in software rasterizer
+    (:mod:`rlenv_tpu.render.stage_software`) — the viewer pipeline runs
+    either way."""
     global _viewer_process, _update_queue
     cleanup_viewer_process()
+    from rlenv_tpu.render.viewer3d import run_3d_viewer_process
     try:
         import ursina  # noqa: F401
+        kwargs = {}
     except ImportError:
-        return
-    from rlenv_tpu.render.viewer3d import run_3d_viewer_process
+        kwargs = {"viewer_factory": _software_viewer_factory}
 
     _update_queue = multiprocessing.Queue()
     _viewer_process = multiprocessing.Process(
-        target=run_3d_viewer_process, args=(_update_queue, initial_data))
+        target=run_3d_viewer_process, args=(_update_queue, initial_data),
+        kwargs=kwargs)
     _viewer_process.start()
 
 

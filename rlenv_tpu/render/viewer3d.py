@@ -247,14 +247,25 @@ def run_3d_viewer_process(update_queue, initial_data: dict,
     viewer.setup_scene(initial_data["obstacles"], initial_data["plants"],
                        initial_data["rover_pos"])
     pumped = 0
-    while max_iterations is None or pumped < max_iterations:
+    stop = False
+    while not stop and (max_iterations is None or pumped < max_iterations):
         pumped += 1
-        if not update_queue.empty():
-            msg = update_queue.get()
-            if isinstance(msg, str) and msg == "STOP":
+        # Drain the whole backlog to the NEWEST state each frame (dropping
+        # stale intermediates) so a renderer slower than the producer still
+        # reaches the STOP sentinel promptly instead of replaying history
+        # until the parent's terminate() safety net fires.
+        msg = None
+        while not update_queue.empty():
+            m = update_queue.get()
+            if isinstance(m, str) and m == "STOP":
+                stop = True
                 break
+            msg = m
+        if msg is not None:
             viewer.update_scene(msg["plants"], msg["rover_pos"],
                                 msg.get("stats"))
+        if stop:
+            break
         viewer.render_step()
         time.sleep(poll_sleep)
     viewer.close()
