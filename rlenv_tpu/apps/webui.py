@@ -7,7 +7,10 @@ button, Stop cancellation, and the companion 3-D viewer window.
 
 gradio is an optional dependency; :func:`build_demo` imports it lazily and
 raises a clear error when missing. Run with ``python -m
-rlenv_tpu.apps.webui``."""
+rlenv_tpu.apps.webui``. When gradio is unavailable (it is not installable
+in this image — no wheel, no egress), the dependency-free server
+:mod:`rlenv_tpu.apps.webserve` serves the same control surface and live
+stream over ``http.server``."""
 
 from __future__ import annotations
 

@@ -246,6 +246,8 @@ def train(algo: str = "a2c",
     next_eval = eval_interval or (total_timesteps + 1)
     best_eval_return = -float("inf")
     best_model_path = os.path.join(models_dir, "best_model")
+    eval_fn = (make_eval_fn(trainer, env_config.max_steps)
+               if eval_interval else None)
 
     def _maybe_eval(state, timesteps):
         nonlocal next_eval, best_eval_return
@@ -255,7 +257,8 @@ def train(algo: str = "a2c",
             next_eval += eval_interval
         mean_ret, std_ret = evaluate(
             trainer, state, n_eval_episodes=n_eval_episodes,
-            max_steps=env_config.max_steps, seed=seed + 1000)
+            max_steps=env_config.max_steps, seed=seed + 1000,
+            eval_fn=eval_fn)
         tb.scalars(timesteps, {"eval/mean_return": mean_ret,
                                "eval/std_return": std_ret})
         if mean_ret > best_eval_return:
@@ -362,51 +365,72 @@ def train(algo: str = "a2c",
     return state, result
 
 
+def make_eval_fn(trainer, max_steps: int = 1000,
+                 deterministic: bool = True):
+    """Build ONE jitted evaluation program: params + seed -> per-env
+    first-episode returns.
+
+    Kept separate from :func:`evaluate` so periodic in-training evals
+    reuse a single compiled program — re-tracing the 1000-step scan per
+    eval call costs far more than the eval itself on this host."""
+    venv = trainer.venv
+    B = venv.num_envs
+    is_recurrent = hasattr(trainer, "model") and hasattr(
+        trainer.model, "initial_carry")
+
+    def eval_fn(params, seed):
+        env_state, obs, _ = venv.reset(jax.random.fold_in(
+            jax.random.PRNGKey(0), seed))
+        carry = trainer.model.initial_carry(B) if is_recurrent else None
+
+        def body(loop_state, _):
+            env_state, obs, carry, ep_start, returns, lengths, alive, key \
+                = loop_state
+            key, k_act = jax.random.split(key)
+            if carry is not None:
+                action, _, _, carry = trainer.policy(
+                    params, obs, carry, ep_start,
+                    None if deterministic else k_act,
+                    deterministic=deterministic)
+            else:
+                out = trainer.policy(params, obs,
+                                     None if deterministic else k_act,
+                                     deterministic=deterministic)
+                action = out[0] if isinstance(out, tuple) else out
+            env_state, obs, reward, term, trunc, info = venv.step(
+                env_state, action)
+            done = term | trunc
+            returns = returns + reward * alive
+            lengths = lengths + alive.astype(jnp.int32)
+            alive = alive & ~done
+            return (env_state, obs, carry, done, returns, lengths, alive,
+                    key), None
+
+        init = (env_state, obs, carry, jnp.ones(B, bool),
+                jnp.zeros(B, jnp.float32), jnp.zeros(B, jnp.int32),
+                jnp.ones(B, bool),
+                jax.random.fold_in(jax.random.PRNGKey(1), seed))
+        (_, _, _, _, returns, _, _, _), _ = jax.lax.scan(
+            body, init, None, length=max_steps)
+        return returns
+
+    return jax.jit(eval_fn)
+
+
 def evaluate(trainer, state, n_eval_episodes: int = 10,
              max_steps: int = 1000, seed: int = 123,
-             deterministic: bool = True) -> Tuple[float, float]:
+             deterministic: bool = True,
+             eval_fn=None) -> Tuple[float, float]:
     """Deterministic evaluation over fresh episodes; mirrors SB3's
     ``evaluate_policy`` call sites (`trainingCode.py:188-194`).
 
-    Runs ``n_eval_episodes`` envs in lockstep and scores each env's FIRST
-    episode (auto-resets after it are masked out).
+    Runs the venv's envs in lockstep and scores each env's FIRST episode
+    (auto-resets after it are masked out), averaging the first
+    ``n_eval_episodes``. Pass a prebuilt ``eval_fn`` (:func:`make_eval_fn`)
+    to reuse its compiled program across calls.
     """
-    venv = trainer.venv
-    B = venv.num_envs
-
-    env_state, obs, _ = venv.reset(jax.random.PRNGKey(seed))
-    is_recurrent = hasattr(trainer, "model") and hasattr(
-        trainer.model, "initial_carry")
-    carry = trainer.model.initial_carry(B) if is_recurrent and hasattr(
-        trainer.model, "initial_carry") else None
-
-    def body(loop_state, _):
-        env_state, obs, carry, ep_start, returns, lengths, alive, key = \
-            loop_state
-        key, k_act = jax.random.split(key)
-        if carry is not None:
-            action, _, _, carry = trainer.policy(
-                state.params, obs, carry, ep_start,
-                None if deterministic else k_act,
-                deterministic=deterministic)
-        else:
-            out = trainer.policy(state.params, obs,
-                                 None if deterministic else k_act,
-                                 deterministic=deterministic)
-            action = out[0] if isinstance(out, tuple) else out
-        env_state, obs, reward, term, trunc, info = venv.step(
-            env_state, action)
-        done = term | trunc
-        returns = returns + reward * alive
-        lengths = lengths + alive.astype(jnp.int32)
-        alive = alive & ~done
-        return (env_state, obs, carry, done, returns, lengths, alive,
-                key), None
-
-    init = (env_state, obs, carry, jnp.ones(B, bool),
-            jnp.zeros(B, jnp.float32), jnp.zeros(B, jnp.int32),
-            jnp.ones(B, bool), jax.random.PRNGKey(seed + 1))
-    (_, _, _, _, returns, lengths, alive, _), _ = jax.lax.scan(
-        body, init, None, length=max_steps)
+    if eval_fn is None:
+        eval_fn = make_eval_fn(trainer, max_steps, deterministic)
+    returns = eval_fn(state.params, jnp.int32(seed))
     rets = np.asarray(returns)[:n_eval_episodes]
     return float(rets.mean()), float(rets.std())
