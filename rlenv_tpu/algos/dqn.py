@@ -57,15 +57,20 @@ class ReplayBuffer:
     filled: jnp.ndarray     # i32[] slots currently filled
 
     @classmethod
-    def create(cls, capacity: int, obs_dim: int, batch_width: int
-               ) -> "ReplayBuffer":
+    def create(cls, capacity: int, obs_dim: int, batch_width: int,
+               slot_block: int = 1) -> "ReplayBuffer":
         """``capacity`` rounds DOWN to a multiple of ``batch_width`` (the
-        vectorized env width); SB3's 2,000,000 stays exact at 64 envs and
-        becomes 1,999,872 at 512."""
+        vectorized env width) and of ``batch_width * slot_block``
+        (``slot_block`` = slots written per :meth:`add_block` call, the
+        trainer's ``train_freq``); SB3's 2,000,000 stays exact at 64 envs
+        and becomes 1,998,848 at 512 x train_freq 4."""
         S = capacity // batch_width
+        if slot_block > 1:
+            S = (S // slot_block) * slot_block
         if S < 1:
             raise ValueError(
-                f"buffer capacity {capacity} < batch width {batch_width}")
+                f"buffer capacity {capacity} < batch width {batch_width}"
+                f" x slot block {slot_block}")
         B = batch_width
         return cls(
             obs=jnp.zeros((S, B, obs_dim), jnp.float32),
@@ -105,6 +110,31 @@ class ReplayBuffer:
             terminated=upd(self.terminated, terminated),
             slot=(self.slot + 1) % S,
             filled=jnp.minimum(self.filled + 1, S),
+        )
+
+    def add_block(self, obs, next_obs, actions, rewards, terminated
+                  ) -> "ReplayBuffer":
+        """Write K consecutive slots in ONE dynamic-slice update.
+
+        Inputs are time-major ``[K, B, ...]`` (the stacked ys of a collect
+        scan). Requires ``S % K == 0`` (guaranteed by ``create``'s
+        ``slot_block``) so a block never wraps mid-write: the slot pointer
+        advances K-aligned from 0. One K-row update is the same HBM
+        traffic as K single-row updates but 1/K the bookkeeping ops —
+        and, more importantly, keeps the buffer OUT of the collect scan's
+        carry entirely."""
+        K = obs.shape[0]
+        S = self.obs.shape[0]
+        upd = lambda buf, rows: jax.lax.dynamic_update_slice_in_dim(
+            buf, rows.astype(buf.dtype), self.slot, axis=0)
+        return ReplayBuffer(
+            obs=upd(self.obs, obs),
+            next_obs=upd(self.next_obs, next_obs),
+            actions=upd(self.actions, actions),
+            rewards=upd(self.rewards, rewards),
+            terminated=upd(self.terminated, terminated),
+            slot=(self.slot + K) % S,
+            filled=jnp.minimum(self.filled + K, S),
         )
 
     def sample(self, key: jax.Array, batch_size: int) -> Dict[str, jnp.ndarray]:
@@ -158,7 +188,8 @@ class DQNTrainer:
             opt_state=self.optimizer.init(params),
             buffer=ReplayBuffer.create(self.config.buffer_size,
                                        self.venv.obs_dim,
-                                       self.venv.num_envs),
+                                       self.venv.num_envs,
+                                       slot_block=self.config.train_freq),
             env_state=env_state,
             obs=obs,
             key=k_train,
@@ -192,38 +223,46 @@ class DQNTrainer:
 
     # -- collection ---------------------------------------------------------
 
-    def _collect_step(self, state: DQNState) -> DQNState:
+    def _collect_step(self, state: DQNState
+                      ) -> Tuple[DQNState, Tuple[jnp.ndarray, ...]]:
+        """One vec-env step; returns the transition instead of writing it
+        (the caller block-writes a whole train_freq of them at once, so
+        the multi-GB buffer never rides the collect scan's carry)."""
         key, k_act = jax.random.split(state.key)
         eps = self.epsilon(state.stats.timesteps)
         action = self.policy(state.params, state.obs, k_act, eps)
         env_state, next_obs, reward, term, trunc, info = self.venv.step(
             state.env_state, action)
         done = term | trunc
-        buffer = state.buffer.add_batch(
-            state.obs, info["final_obs"], action, reward, term)
+        transition = (state.obs, info["final_obs"], action, reward, term)
         stats = state.stats.update(reward, done,
                                    info["exploration_percentage"])
         return dataclasses.replace(
-            state, buffer=buffer, env_state=env_state, obs=next_obs,
-            key=key, stats=stats, n_calls=state.n_calls + 1)
+            state, env_state=env_state, obs=next_obs,
+            key=key, stats=stats, n_calls=state.n_calls + 1), transition
 
     # -- learning -----------------------------------------------------------
 
     def _gradient_step(self, state: DQNState,
+                       buffer: ReplayBuffer | None = None,
                        mask: jnp.ndarray | None = None
                        ) -> Tuple[DQNState, Dict]:
         """One Huber-loss Q-update on a sampled batch.
 
-        ``mask`` (bool scalar) gates whether the update is APPLIED: when
-        False the params/opt-state pass through unchanged. Computing the
-        update unconditionally and masking the apply keeps the training
-        chunk free of ``lax.cond`` over the multi-GB replay buffer — the
-        branch-free form XLA can alias in place through the scan — and the
-        wasted FLOPs are one batch-64 MLP pass (~0.8 ms) per iteration
-        during the short ``learning_starts`` warmup only."""
+        ``buffer`` overrides ``state.buffer`` so callers can pass it as a
+        loop-invariant capture (train_iteration holds it out of the scan
+        carry). ``mask`` (bool scalar) gates whether the update is
+        APPLIED: when False the params/opt-state pass through unchanged.
+        Computing the update unconditionally and masking the apply keeps
+        the training chunk free of ``lax.cond`` over the multi-GB replay
+        buffer — the branch-free form XLA can alias in place through the
+        scan — and the wasted FLOPs are one batch-64 MLP pass (~0.8 ms)
+        per iteration during the short ``learning_starts`` warmup only."""
         cfg = self.config
+        if buffer is None:
+            buffer = state.buffer
         key, k_sample = jax.random.split(state.key)
-        batch = state.buffer.sample(k_sample, cfg.batch_size)
+        batch = buffer.sample(k_sample, cfg.batch_size)
 
         q_next = self.model.apply(state.target_params, batch["next_obs"])
         if cfg.double_q:
@@ -277,19 +316,30 @@ class DQNTrainer:
         re-materializes the buffer), while the masked form keeps the loop
         branch-free and alias-friendly."""
         cfg = self.config
+        buffer = state.buffer
 
+        # Collect with the buffer held OUT of the scan carry: each step
+        # yields its transition, and one K-slot block write lands them
+        # all afterwards. Carrying the multi-GB buffer through the scan —
+        # even untouched — profiled at ~1.5 ms per step of copy traffic.
         def collect(s, _):
-            s = self._collect_step(s)
-            return self._maybe_update_target(s), None
-        state, _ = jax.lax.scan(collect, state, None, length=cfg.train_freq)
+            s, transition = self._collect_step(s)
+            return self._maybe_update_target(s), transition
+        carry = dataclasses.replace(state, buffer=None)
+        carry, transitions = jax.lax.scan(collect, carry, None,
+                                          length=cfg.train_freq)
+        buffer = buffer.add_block(*transitions)
 
-        warm = state.stats.timesteps >= cfg.learning_starts
+        warm = carry.stats.timesteps >= cfg.learning_starts
 
+        # Gradient steps read the buffer as a scan-invariant capture (XLA
+        # hoists it out of the loop), not as carry.
         def gstep(s2, _):
-            s2, m = self._gradient_step(s2, mask=warm)
+            s2, m = self._gradient_step(s2, buffer=buffer, mask=warm)
             return s2, m["loss"]
-        state, losses = jax.lax.scan(gstep, state, None,
+        carry, losses = jax.lax.scan(gstep, carry, None,
                                      length=cfg.gradient_steps)
+        state = dataclasses.replace(carry, buffer=buffer)
         loss = jnp.where(warm, losses.mean(), 0.0)
         return state, dict(loss=loss, epsilon=self.epsilon(
             state.stats.timesteps))

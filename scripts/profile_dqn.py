@@ -65,19 +65,28 @@ def main():
     # 2. collect step (env + buffer write + stats) x64
     def collect_only(s):
         def body(carry, _):
-            return trainer._collect_step(carry), None
-        s, _ = jax.lax.scan(body, s, None, length=64)
-        return s
+            c, trans = trainer._collect_step(carry)
+            return c, trans
+        import dataclasses
+        carry = dataclasses.replace(s, buffer=None)
+        carry, trans = jax.lax.scan(body, carry, None, length=64)
+        buf = s.buffer
+        for k in range(0, 64, trainer.config.train_freq):
+            buf = buf.add_block(*jax.tree.map(
+                lambda x: x[k:k + trainer.config.train_freq], trans))
+        return dataclasses.replace(carry, buffer=buf)
     state, dt = timeit("collect (env+buffer+stats) x64", jax.jit(collect_only), state)
     print(f"    -> {64*N_ENVS/dt:,.0f} env-steps/s")
 
     # 3. collect + target update x64 (what train_iteration's collect does)
     def collect_target(s):
         def body(carry, _):
-            c = trainer._collect_step(carry)
-            return trainer._maybe_update_target(c), None
-        s, _ = jax.lax.scan(body, s, None, length=64)
-        return s
+            c, trans = trainer._collect_step(carry)
+            return trainer._maybe_update_target(c), trans
+        import dataclasses
+        carry = dataclasses.replace(s, buffer=None)
+        carry, _ = jax.lax.scan(body, carry, None, length=64)
+        return dataclasses.replace(carry, buffer=s.buffer)
     state, dt = timeit("collect+target x64", jax.jit(collect_target), state)
     print(f"    -> {64*N_ENVS/dt:,.0f} env-steps/s")
 
