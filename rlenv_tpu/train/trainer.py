@@ -251,7 +251,7 @@ def train(algo: str = "a2c",
 
     def _maybe_eval(state, timesteps):
         nonlocal next_eval, best_eval_return
-        if timesteps < next_eval:
+        if not eval_interval or timesteps < next_eval:
             return
         while next_eval <= timesteps:
             next_eval += eval_interval

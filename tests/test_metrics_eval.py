@@ -96,6 +96,23 @@ def test_train_saves_best_model_on_eval(tmp_path):
     assert meta["timesteps"] > 0
 
 
+def test_train_without_eval_interval_tolerates_overshoot(tmp_path):
+    """Regression: when the last chunk overshoots total_timesteps and no
+    eval_interval is set, the eval hook must stay inert (it crashed with
+    `int += None` on the overshoot)."""
+    from rlenv_tpu.train.trainer import train
+
+    env_config = EnvConfig(grid_size=5, num_plants=1, num_obstacles=0,
+                           lidar_range=2, lidar_channels=4, max_steps=8)
+    _, result = train(
+        algo="a2c", total_timesteps=100,  # chunk = 4*2*8 = 64 -> 128 > 101
+        n_envs=8, env_config=env_config,
+        algo_config=A2CConfig(hidden_sizes=(16,), n_steps=2),
+        log_dir=str(tmp_path / "run"), seed=0, iterations_per_chunk=4,
+        plot=False, verbose=False)
+    assert result.timesteps >= 100
+
+
 def test_train_curriculum_logs_maze_completions(tmp_path):
     """End-to-end: a curriculum run's training_log draws maze completions
     from the device counter (threshold successes), not the 100% proxy."""
