@@ -2,9 +2,10 @@
 
 TPU-native counterpart of the reference's SB3 DQN trainer
 (`/root/reference/trainingCode.py:203-284`). The replay buffer is a set of
-preallocated HBM arrays written with scatter updates and sampled with a
-batched gather — no host round-trips; collection and learning run inside
-one jitted ``lax.scan``.
+preallocated slot-major HBM arrays written with aligned block
+dynamic-slice updates (one write per train_freq of collect steps, held
+OUT of the scan carries) and sampled with a batched gather — no host
+round-trips; collection and learning run inside one jitted ``lax.scan``.
 
 Hyperparameters mirror `trainingCode.py:226-247`: lr 3e-4, buffer 2M,
 learning_starts 5000, batch 64, tau .005 (soft target update), gamma .99,
@@ -38,14 +39,16 @@ class ReplayBuffer:
     """Fixed-capacity ring buffer living in HBM, slot-major.
 
     Transitions are stored as ``slots`` of one vectorized-env step each
-    (``[S, B, ...]`` with ``S = capacity // B``), and a slot is written
-    with ``lax.dynamic_update_index_in_dim`` — an update XLA aliases
-    IN-PLACE inside the training scan. The earlier flat ``[cap, ...]``
+    (``[S, B, ...]`` with ``S = capacity // B``), written with aligned
+    dynamic-slice updates XLA aliases IN-PLACE. Two layout lessons are
+    baked in (both profiled on hardware): the earlier flat ``[cap, ...]``
     layout used ``.at[idx].set`` scatters, which XLA materializes as a
-    full-buffer copy per insert: at the reference's 2M-transition /
-    107-dim config that is ~1.7 GB of HBM traffic per vectorized env
-    step, and profiled as ~99% of DQN wall-clock (a 512-env 10M-step run
-    at ~2k env-steps/s; this layout runs the same config at >1M).
+    full-buffer copy per insert (~1.7 GB of HBM traffic per vectorized
+    env step at the reference's 2M-transition / 107-dim config); and even
+    a pass-through ride in a scan CARRY costs ~1.5 ms/step of copy
+    traffic — so the trainer writes one K-slot block per train_freq of
+    collect steps (:meth:`add_block`) and keeps the buffer out of the
+    per-step loops entirely.
     """
 
     obs: jnp.ndarray        # f32[S, B, O]
