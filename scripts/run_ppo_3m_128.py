@@ -21,6 +21,13 @@ from rlenv_tpu.train.trainer import train
 if __name__ == "__main__":
     n_steps = int(os.environ.get("PPO_N_STEPS", 256))
     n_envs = int(os.environ.get("PPO_N_ENVS", 128))
+    # Minibatch size in SAMPLES (whole sequences of n_steps). The serial
+    # depth of one update is n_epochs * (n_envs*n_steps/batch) * n_steps
+    # BPTT steps; at n_steps=1024 the 4096 default gives 4-sequence
+    # minibatches (M=4 matmuls, 327,680 serial steps per iteration —
+    # measured 370 s on hardware). 32768 -> 32-seq minibatches, 4
+    # minibatches/epoch, ~8x less serial depth.
+    batch = int(os.environ.get("PPO_BATCH", 4096 * (n_steps // 256)))
     log_dir = os.environ.get("PPO_LOG_DIR", "runs/ppo_tpu_3m_128")
     env_config = EnvConfig.training(rewards=RewardConfig.recurrent_ppo())
     state, result = train(
@@ -29,9 +36,7 @@ if __name__ == "__main__":
         n_envs=n_envs,
         use_curriculum=True,
         env_config=env_config,
-        # batch_size 4096 samples = 16 whole n_steps-long sequences per
-        # minibatch at n_steps=256 (8 minibatches/epoch at 128 envs).
-        algo_config=RecurrentPPOConfig(n_steps=n_steps, batch_size=4096),
+        algo_config=RecurrentPPOConfig(n_steps=n_steps, batch_size=batch),
         curriculum_config=CurriculumConfig.ppo_dqn(),
         log_dir=log_dir,
         seed=0,

@@ -28,7 +28,8 @@ N_ENVS = int(os.environ.get("SWEEP_ENVS", 512))
 OUT = "runs/a2c_sweep"
 
 CONFIGS = {
-    # name: (reward preset, curriculum preset, a2c config overrides)
+    # name: (reward preset, curriculum preset, a2c config overrides
+    #        [, extra train() kwargs])
     "a2crew_a2ccur": (RewardConfig.a2c, CurriculumConfig.a2c, {}),
     "a2crew_pdcur": (RewardConfig.a2c, CurriculumConfig.ppo_dqn, {}),
     "dqnrew_a2ccur": (RewardConfig.dqn, CurriculumConfig.a2c, {}),
@@ -43,6 +44,20 @@ CONFIGS = {
                             lambda: dataclasses.replace(
                                 CurriculumConfig.a2c(),
                                 fresh_map_each_reset=True), {}),
+    # -- stage 2: is 50-59% a step-count ceiling or a capability ceiling?
+    "dqnrew_a2ccur_50m": (RewardConfig.dqn, CurriculumConfig.a2c, {},
+                          {"total_timesteps": 50_000_000}),
+    "dqnrew_a2ccur_seed1": (RewardConfig.dqn, CurriculumConfig.a2c, {},
+                            {"seed": 1}),
+    "dqnrew_a2ccur_seed2": (RewardConfig.dqn, CurriculumConfig.a2c, {},
+                            {"seed": 2}),
+    # bigger net (the reference's DQN-sized tower) + lower lr
+    "dqnrew_a2ccur_big": (RewardConfig.dqn, CurriculumConfig.a2c,
+                          {"hidden_sizes": (512, 512, 256),
+                           "learning_rate": 3e-4}),
+    # longer bootstrap horizon with more entropy
+    "dqnrew_a2ccur_n32_ent05": (RewardConfig.dqn, CurriculumConfig.a2c,
+                                {"n_steps": 32, "ent_coef": 0.05}),
 }
 
 
@@ -76,18 +91,22 @@ def main() -> None:
         if name in done:
             print(f"[sweep] {name}: already done, skipping", flush=True)
             continue
-        rewards_fn, cur_fn, overrides = CONFIGS[name]
+        spec = CONFIGS[name]
+        rewards_fn, cur_fn, overrides = spec[:3]
+        extra = dict(spec[3]) if len(spec) > 3 else {}
         env_config = EnvConfig.training(rewards=rewards_fn())
         algo_config = dataclasses.replace(A2CConfig(), **overrides)
         log_dir = os.path.join(OUT, name)
         t0 = time.time()
+        kwargs = dict(total_timesteps=TOTAL, seed=0)
+        kwargs.update(extra)
         try:
             _, result = train(
-                algo="a2c", total_timesteps=TOTAL, n_envs=N_ENVS,
+                algo="a2c", n_envs=N_ENVS,
                 use_curriculum=True, env_config=env_config,
                 algo_config=algo_config, curriculum_config=cur_fn(),
-                log_dir=log_dir, seed=0, iterations_per_chunk=64,
-                plot=False, verbose=False)
+                log_dir=log_dir, iterations_per_chunk=64,
+                plot=False, verbose=False, **kwargs)
         except Exception as e:
             print(f"[sweep] {name}: FAILED {e!r}", flush=True)
             continue
@@ -97,7 +116,8 @@ def main() -> None:
             "episodes": result.episodes,
             "mean_return": round(result.mean_return, 1),
             "mean_exploration": round(result.mean_exploration, 2),
-            "tail20_exploration": round(tail_exploration(log_dir), 2),
+            "tail20_exploration": (lambda t: None if np.isnan(t)
+                                   else round(t, 2))(tail_exploration(log_dir)),
             "wall_seconds": round(time.time() - t0, 1),
             "steps_per_sec": round(result.steps_per_sec, 0),
         }
