@@ -84,7 +84,7 @@ def _step_parity(envs, horizon):
 
 def test_fused_step_parity_smoke(envs):
     """Short-horizon bit-exactness (fast path; no auto-reset coverage)."""
-    _step_parity(envs, 10)
+    _step_parity(envs, 6)
 
 
 @pytest.mark.slow
@@ -165,7 +165,7 @@ def _curriculum_parity(horizon):
 def test_fused_curriculum_parity_smoke():
     """Short-horizon fused-vs-XLA curriculum bit-exactness (fast path;
     within-episode only — resets are covered by the slow variant)."""
-    _curriculum_parity(10)
+    _curriculum_parity(6)
 
 
 @pytest.mark.slow
@@ -176,10 +176,13 @@ def test_fused_curriculum_parity():
     _curriculum_parity(70)
 
 
+@pytest.mark.slow
 def test_fused_rollout_matches_per_step(envs):
     """A K-step chunk (build_fused_rollout) is bit-identical to K iterated
     per-step fused calls when dones land on the chunk boundary, and the
-    wrapper's chunk-end auto-reset matches the per-step auto-reset."""
+    wrapper's chunk-end auto-reset matches the per-step auto-reset.
+    (slow: 8 eager interpret-mode steps; the fast path still covers the
+    rollout kernel via freeze_and_chunk_reset and under_shard_map)"""
     _, fenv = envs
     K = 8  # divides max_steps=40: truncation lands on a chunk boundary
     flat0, _, _ = fenv.reset(jax.random.PRNGKey(9))
