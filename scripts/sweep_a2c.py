@@ -45,8 +45,12 @@ CONFIGS = {
                                 CurriculumConfig.a2c(),
                                 fresh_map_each_reset=True), {}),
     # -- stage 2: is 50-59% a step-count ceiling or a capability ceiling?
+    # (50M answered: step count — 68.8% mean / 73.9% tail vs 54/59 at 10M;
+    # the per-env threshold ladder needs episodes to climb)
     "dqnrew_a2ccur_50m": (RewardConfig.dqn, CurriculumConfig.a2c, {},
                           {"total_timesteps": 50_000_000}),
+    "dqnrew_a2ccur_200m": (RewardConfig.dqn, CurriculumConfig.a2c, {},
+                           {"total_timesteps": 200_000_000}),
     "dqnrew_a2ccur_seed1": (RewardConfig.dqn, CurriculumConfig.a2c, {},
                             {"seed": 1}),
     "dqnrew_a2ccur_seed2": (RewardConfig.dqn, CurriculumConfig.a2c, {},
