@@ -28,6 +28,12 @@ class EpisodeStats:
     completed_count: jnp.ndarray       # i32[]
     last_exploration_sum: jnp.ndarray  # f32[] sum of final exploration %
     timesteps: jnp.ndarray             # i32[] total env steps taken
+    # Monotonic count of episodes that ended fully explored (>=100%) —
+    # the reference EvaluationCallback's ``maze_completion_count``
+    # definition (`trainingCode.py:300-318`). Tracked on device so the
+    # host log can't undercount when more episodes finish between drains
+    # than the ring holds.
+    full_exploration_count: jnp.ndarray  # i32[]
     # per-episode ring log (drained by the host)
     log_return: jnp.ndarray      # f32[K]
     log_length: jnp.ndarray      # i32[K]
@@ -48,6 +54,7 @@ class EpisodeStats:
             completed_count=jnp.int32(0),
             last_exploration_sum=jnp.float32(0),
             timesteps=jnp.int32(0),
+            full_exploration_count=jnp.int32(0),
             log_return=jnp.zeros(log_capacity, jnp.float32),
             log_length=jnp.zeros(log_capacity, jnp.int32),
             log_exploration=jnp.zeros(log_capacity, jnp.float32),
@@ -85,6 +92,8 @@ class EpisodeStats:
             last_exploration_sum=self.last_exploration_sum
             + jnp.sum(exploration_pct * d),
             timesteps=self.timesteps + rewards.shape[0],
+            full_exploration_count=self.full_exploration_count
+            + jnp.sum(done & (exploration_pct >= 100.0)).astype(jnp.int32),
             log_return=log_return,
             log_length=log_length,
             log_exploration=log_exploration,

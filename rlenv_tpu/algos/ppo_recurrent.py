@@ -11,12 +11,17 @@ Hyperparameters mirror `trainingCode.py:140-162`: lr 3e-4, n_steps 1024,
 batch_size 128, 10 epochs, gamma .99, gae_lambda .95, clip .2, ent .02,
 vf .5, max_grad_norm .5, lstm_hidden 2562, net_arch [128,128], Adam.
 
-Documented divergence: SB3 builds minibatches from padded sub-sequences of
-the rollout; here a minibatch is a subset of ENVS with their full-length
-sequences (initial LSTM carry stored at rollout start), which keeps shapes
-static and BPTT exact. Sample efficiency characteristics are equivalent;
-batch_size is interpreted as "sequences per minibatch" rounded to a
-divisor of n_envs.
+Minibatch semantics: SB3 builds minibatches from padded sub-sequences of
+the rollout with their stored ``lstm_states``. Here the rollout is split
+into fixed-length BPTT chunks (``config.bptt_chunk``; 0 = whole-rollout
+sequences) whose initial LSTM carries are recorded during collection, and
+a minibatch is a random subset of those (env, chunk) sequences — same
+truncated-BPTT semantic as SB3, but with static shapes (no padding) and a
+minibatch layout [L, M, ...] whose M-row matmuls fill the MXU tiles.
+``batch_size`` is interpreted in SAMPLES (as in SB3): sequences per
+minibatch = batch_size // chunk_len, rounded down to a divisor of the
+sequence-pool size. Like SB3, the recorded carries are one-policy-stale
+from the second epoch on; gradients do not flow across chunk boundaries.
 """
 
 from __future__ import annotations
@@ -52,11 +57,18 @@ class RecurrentPPOTrainer:
     def __init__(self, venv, config: RecurrentPPOConfig = RecurrentPPOConfig()):
         self.venv = venv
         self.config = config
+        L = config.bptt_chunk or config.n_steps
+        if config.n_steps % L:
+            raise ValueError(
+                f"bptt_chunk={config.bptt_chunk} must divide "
+                f"n_steps={config.n_steps}")
         self.model = RecurrentActorCritic(
             num_actions=venv.num_actions,
             lstm_hidden_size=config.lstm_hidden_size,
             hidden_sizes=config.hidden_sizes,
-            enable_critic_lstm=config.enable_critic_lstm)
+            enable_critic_lstm=config.enable_critic_lstm,
+            dtype=(jnp.bfloat16 if config.compute_dtype == "bfloat16"
+                   else jnp.float32))
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(config.max_grad_norm),
             optax.adam(config.learning_rate),
@@ -118,18 +130,22 @@ class RecurrentPPOTrainer:
                           init_carry):
         """Re-run the policy over [T, M, ...] sequences under scan.
 
-        The per-step body is rematerialized (`jax.checkpoint`): BPTT over
-        n_steps=1024 with a 2562-wide LSTM would otherwise save every
-        gate activation for the backward pass (~GBs of HBM); remat trades
-        a second forward pass for keeping only the carries.
+        With ``config.remat`` the per-step body is rematerialized
+        (`jax.checkpoint`): BPTT over n_steps=1024 with a 2562-wide LSTM
+        would otherwise save every gate activation for the backward pass
+        (~GBs of HBM); remat trades a second forward pass for keeping only
+        the carries. For short BPTT chunks the activations fit easily and
+        the second forward (plus its ~110 MB/step weight re-read) is pure
+        overhead — set ``remat=False`` there.
         """
-        @jax.checkpoint
         def step(carry, inp):
             obs, ep_start = inp
             logits, value, carry = self.model.apply(params, obs, carry,
                                                     ep_start)
             return carry, (logits, value)
 
+        if self.config.remat:
+            step = jax.checkpoint(step)
         _, (logits, values) = jax.lax.scan(
             step, init_carry, (obs_seq, episode_start_seq))
         return logits, values
@@ -146,26 +162,40 @@ class RecurrentPPOTrainer:
                    cfg.gamma, cfg.gae_lambda)
 
     def update_epochs(self, state: RecurrentPPOState,
-                      traj: Dict[str, jnp.ndarray], init_carry,
+                      traj: Dict[str, jnp.ndarray], init_carries,
                       advantages: jnp.ndarray, returns: jnp.ndarray,
                       n_epochs: int) -> Tuple[RecurrentPPOState, Dict]:
         """Run ``n_epochs`` PPO epochs over the rollout.
 
+        ``init_carries`` are the carries :meth:`rollout` recorded at each
+        BPTT-chunk start (leaves ``[n_chunks, B, H]``). The rollout is a
+        pool of ``N = n_chunks * n_envs`` independent length-L sequences;
+        each minibatch re-runs a random M-subset of them under scan with
+        the recorded initial carries.
+
         Exposed separately from :meth:`train_iteration` so the host can
         drive rollout / target / epoch phases as SEPARATE device programs
-        (``train(..., program_split=...)``) — the monolithic fused program
-        (256-step BPTT of the 2562-wide LSTM × 10 epochs in one XLA
-        program) is too large for some TPU runtimes.
+        (``train(..., program_split=...)``) where one program per
+        iteration is too large for the TPU runtime (only needed for
+        whole-rollout BPTT; chunked programs are small).
         """
         cfg = self.config
-        B = state.obs.shape[0]
-        # sequences per minibatch: batch_size samples / n_steps-long
-        # sequences, at least 1, rounded down to a divisor of B for static
-        # shapes.
-        seqs_per_mb = min(max(1, cfg.batch_size // cfg.n_steps), B)
-        while B % seqs_per_mb != 0:
+        T, B = traj["action"].shape[:2]
+        L = cfg.bptt_chunk or cfg.n_steps
+        n_chunks = T // L
+        N = n_chunks * B
+        # sequences per minibatch: batch_size SAMPLES / L-step sequences,
+        # at least 1, rounded down to a divisor of N for static shapes.
+        seqs_per_mb = min(max(1, cfg.batch_size // L), N)
+        while N % seqs_per_mb != 0:
             seqs_per_mb -= 1
-        n_minibatches = B // seqs_per_mb
+        n_minibatches = N // seqs_per_mb
+
+        def to_pool(x):
+            """[T, B, ...] -> [L, N, ...] with sequence n = chunk*B + env."""
+            x = x.reshape((n_chunks, L) + x.shape[1:])
+            x = jnp.moveaxis(x, 0, 1)
+            return x.reshape((L, N) + x.shape[3:])
 
         def loss_fn(params, mb):
             logits, values = self._sequence_forward(
@@ -185,21 +215,24 @@ class RecurrentPPOTrainer:
             return total, dict(policy_loss=policy_loss,
                                value_loss=value_loss, entropy=ent)
 
-        data = dict(obs=traj["obs"], episode_start=traj["episode_start"],
-                    action=traj["action"], logp=traj["logp"],
-                    adv=advantages, ret=returns)
+        data = jax.tree.map(to_pool, dict(
+            obs=traj["obs"], episode_start=traj["episode_start"],
+            action=traj["action"], logp=traj["logp"],
+            adv=advantages, ret=returns))
+        carry_pool = jax.tree.map(
+            lambda c: c.reshape((N,) + c.shape[2:]), init_carries)
 
         def epoch(carry, _):
             params, opt_state, key = carry
             key, k_perm = jax.random.split(key)
-            perm = jax.random.permutation(k_perm, B)
+            perm = jax.random.permutation(k_perm, N)
 
             def minibatch(carry, mb_idx):
                 params, opt_state = carry
-                envs = jax.lax.dynamic_slice_in_dim(
+                seqs = jax.lax.dynamic_slice_in_dim(
                     perm, mb_idx * seqs_per_mb, seqs_per_mb)
-                mb = jax.tree.map(lambda x: x[:, envs], data)  # [T, M, ...]
-                mb["carry"] = jax.tree.map(lambda x: x[envs], init_carry)
+                mb = jax.tree.map(lambda x: x[:, seqs], data)  # [L, M, ...]
+                mb["carry"] = jax.tree.map(lambda x: x[seqs], carry_pool)
                 (loss, aux), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params, mb)
                 updates, opt_state = self.optimizer.update(grads, opt_state,
@@ -219,17 +252,34 @@ class RecurrentPPOTrainer:
                                    opt_state=opt_state, key=key), metrics
 
     def _update(self, state: RecurrentPPOState, traj: Dict[str, jnp.ndarray],
-                init_carry) -> Tuple[RecurrentPPOState, Dict]:
+                init_carries) -> Tuple[RecurrentPPOState, Dict]:
         advantages, returns = self.compute_targets(state, traj)
-        return self.update_epochs(state, traj, init_carry, advantages,
+        return self.update_epochs(state, traj, init_carries, advantages,
                                   returns, self.config.n_epochs)
 
     def rollout(self, state: RecurrentPPOState):
-        """Collect one n_steps rollout; returns (state, traj, init_carry)."""
-        init_carry = state.carry
-        state, traj = jax.lax.scan(self._rollout_step, state, None,
-                                   length=self.config.n_steps)
-        return state, traj, init_carry
+        """Collect one n_steps rollout.
+
+        Returns ``(state, traj, init_carries)``: traj leaves are
+        ``[n_steps, B, ...]`` (time-major, contiguous across chunk
+        boundaries — GAE runs over the full horizon), and init_carries are
+        the LSTM carries snapshotted at each BPTT-chunk start, stacked as
+        leaves ``[n_chunks, B, H]`` (n_chunks = 1 without chunking).
+        """
+        cfg = self.config
+        L = cfg.bptt_chunk or cfg.n_steps
+        n_chunks = cfg.n_steps // L
+
+        def chunk_body(s, _):
+            c0 = s.carry
+            s, traj = jax.lax.scan(self._rollout_step, s, None, length=L)
+            return s, (traj, c0)
+
+        state, (traj, carries) = jax.lax.scan(chunk_body, state, None,
+                                              length=n_chunks)
+        traj = jax.tree.map(
+            lambda x: x.reshape((cfg.n_steps,) + x.shape[2:]), traj)
+        return state, traj, carries
 
     def train_iteration(self, state: RecurrentPPOState
                         ) -> Tuple[RecurrentPPOState, Dict]:

@@ -217,6 +217,27 @@ class RecurrentPPOConfig:
     n_lstm_layers: int = 1
     enable_critic_lstm: bool = True
     hidden_sizes: Tuple[int, ...] = (128, 128)
+    # Truncated-BPTT chunk length. 0 = backprop through the whole n_steps
+    # rollout (one sequence per env — the round-2/3 behavior). L > 0 splits
+    # each env's rollout into n_steps/L sequences whose initial LSTM
+    # carries are recorded during collection; minibatches then draw from
+    # the n_envs * n_steps/L sequence pool. This is sb3_contrib's actual
+    # semantic (its batch_size=128 minibatches cut sequences into <=128
+    # step sub-sequences with stored lstm_states,
+    # `trainingCode.py:144-162`), and on TPU it turns the update's serial
+    # depth of n_steps*n_envs/minibatch scan steps with M=1..4-row matmuls
+    # into n_steps*n_envs/M steps with wide-M matmuls that actually fill
+    # the MXU's 128-row tiles.
+    bptt_chunk: int = 0
+    # Compute dtype for the policy network ("float32" | "bfloat16").
+    # Params/optimizer stay float32; see RecurrentActorCritic.dtype.
+    compute_dtype: str = "float32"
+    # Rematerialize the BPTT step during the update's backward pass.
+    # Required for whole-rollout BPTT (n_steps=1024 of the 2562-wide LSTM
+    # would save ~GBs of gate activations); optional for short chunks,
+    # where saving activations (~8 MB per step at M=128 sequences) is
+    # cheaper than a second forward pass.
+    remat: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

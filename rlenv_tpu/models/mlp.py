@@ -26,18 +26,26 @@ from jax.nn.initializers import constant, orthogonal
 
 
 class MLPTower(nn.Module):
-    """Plain MLP trunk with configurable activation + orthogonal init."""
+    """Plain MLP trunk with configurable activation + orthogonal init.
+
+    ``dtype`` selects the COMPUTE dtype (params stay float32): bfloat16
+    feeds the MXU its native input precision and halves the HBM traffic
+    of the per-scan-step weight loads — the standard TPU mixed-precision
+    recipe (losses are still reduced in float32 by the callers).
+    """
 
     features: Sequence[int]
     activation: str = "tanh"
     kernel_gain: float = 2.0 ** 0.5
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         act = jnp.tanh if self.activation == "tanh" else nn.relu
         for i, width in enumerate(self.features):
             x = nn.Dense(width, kernel_init=orthogonal(self.kernel_gain),
-                         bias_init=constant(0.0), name=f"dense_{i}")(x)
+                         bias_init=constant(0.0), dtype=self.dtype,
+                         name=f"dense_{i}")(x)
             x = act(x)
         return x
 

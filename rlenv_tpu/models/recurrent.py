@@ -39,36 +39,52 @@ class RecurrentActorCritic(nn.Module):
     lstm_hidden_size: int = 2562
     hidden_sizes: Tuple[int, ...] = (128, 128)
     enable_critic_lstm: bool = True
+    # Compute dtype (params stay float32). bfloat16 is the TPU
+    # mixed-precision recipe: the MXU ingests bf16 natively and the big
+    # per-scan-step LSTM weight loads (2 x ~110 MB at hidden 2562 in f32)
+    # halve in HBM traffic. Logits/values are cast back to float32 before
+    # they reach any loss or sampling math.
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, obs, carry, episode_start):
         """One timestep. obs [B, O]; episode_start [B] resets the memory,
         mirroring sb3_contrib's episode_start masking."""
-        actor_carry, critic_carry = carry
-        mask = (1.0 - episode_start.astype(jnp.float32))[:, None]
-        actor_carry = jax.tree.map(lambda x: x * mask, actor_carry)
-        critic_carry = jax.tree.map(lambda x: x * mask, critic_carry)
+        mask = (1.0 - episode_start.astype(self.dtype))[:, None]
+        actor_carry = jax.tree.map(lambda x: x.astype(self.dtype) * mask,
+                                   carry[0])
+        critic_carry = jax.tree.map(lambda x: x.astype(self.dtype) * mask,
+                                    carry[1])
+        obs = obs.astype(self.dtype)
 
         actor_cell = nn.OptimizedLSTMCell(self.lstm_hidden_size,
+                                          dtype=self.dtype,
                                           name="actor_lstm")
         actor_carry, actor_out = actor_cell(actor_carry, obs)
 
         if self.enable_critic_lstm:
             critic_cell = nn.OptimizedLSTMCell(self.lstm_hidden_size,
+                                               dtype=self.dtype,
                                                name="critic_lstm")
             critic_carry, critic_out = critic_cell(critic_carry, obs)
         else:
             critic_out = actor_out
 
-        pi = MLPTower(self.hidden_sizes, "tanh", name="pi_tower")(actor_out)
-        vf = MLPTower(self.hidden_sizes, "tanh", name="vf_tower")(critic_out)
+        pi = MLPTower(self.hidden_sizes, "tanh", dtype=self.dtype,
+                      name="pi_tower")(actor_out)
+        vf = MLPTower(self.hidden_sizes, "tanh", dtype=self.dtype,
+                      name="vf_tower")(critic_out)
         logits = nn.Dense(self.num_actions, kernel_init=orthogonal(0.01),
-                          bias_init=constant(0.0), name="pi_head")(pi)
+                          bias_init=constant(0.0), dtype=self.dtype,
+                          name="pi_head")(pi)
         value = nn.Dense(1, kernel_init=orthogonal(1.0),
-                         bias_init=constant(0.0), name="vf_head")(vf)
-        return logits, value.squeeze(-1), (actor_carry, critic_carry)
+                         bias_init=constant(0.0), dtype=self.dtype,
+                         name="vf_head")(vf)
+        return (logits.astype(jnp.float32),
+                value.squeeze(-1).astype(jnp.float32),
+                (actor_carry, critic_carry))
 
     def initial_carry(self, batch_size: int):
         shape = (batch_size, self.lstm_hidden_size)
-        zeros = jnp.zeros(shape, jnp.float32)
+        zeros = jnp.zeros(shape, self.dtype)
         return ((zeros, zeros), (zeros, zeros))

@@ -117,15 +117,20 @@ class TrainingLogWriter:
         self.maze_completion_count = 0
 
     def maybe_log(self, timesteps: int, stats: EpisodeStats,
-                  mazes_completed: Optional[int] = None) -> None:
+                  curriculum_successes: Optional[int] = None) -> None:
         """Append one eval line if due AND new episodes finished.
 
-        ``mazes_completed`` is the curriculum's device-tracked success total
-        (``CurriculumState.successful_explorations`` summed over envs) —
-        the reference increments its counter on threshold success
-        (`trainingCode.py:55-62`). Without a curriculum we fall back to
-        counting fully-explored episodes. Windows with no NEW episodes are
-        skipped entirely, so the log never repeats frozen values as fresh.
+        ``Mazes completed`` always uses the reference callback's definition
+        — episodes that ended with exploration >= 100%
+        (`trainingCode.py:300-318`) — read from the device-side monotonic
+        counter (``EpisodeStats.full_exploration_count``), so it can't
+        undercount when more episodes finish between drains than the ring
+        holds. ``curriculum_successes`` (the curriculum's threshold-success
+        total, ``CurriculumState.successful_explorations`` — a different,
+        much larger quantity since thresholds start at 30%) is logged on
+        its own separate line when provided. Windows with no NEW episodes
+        are skipped entirely, so the log never repeats frozen values as
+        fresh.
         """
         if timesteps - self._last_logged < self.eval_freq:
             return
@@ -138,18 +143,16 @@ class TrainingLogWriter:
         take = min(new, K, 10)      # mean over the newest <=10 fresh episodes
         idx = (np.arange(pos - take, pos) % K)
         explorations = np.asarray(stats.log_exploration)[idx]
-        if mazes_completed is not None:
-            self.maze_completion_count = int(mazes_completed)
-        else:
-            all_new = (np.arange(max(pos - min(new, K), 0), pos) % K)
-            self.maze_completion_count += int(
-                (np.asarray(stats.log_exploration)[all_new] >= 100.0).sum())
+        self.maze_completion_count = int(stats.full_exploration_count)
         self._drained = pos
         mean_exploration = float(explorations.mean())
         with open(self.path, "a") as f:
             f.write(f"[Step {timesteps}] Mean Exploration: "
                     f"{mean_exploration:.2f}%\n")
             f.write(f"Mazes completed: {self.maze_completion_count}\n")
+            if curriculum_successes is not None:
+                f.write(f"Curriculum threshold successes: "
+                        f"{int(curriculum_successes)}\n")
         if mean_exploration > self.best_mean_exploration:
             self.best_mean_exploration = mean_exploration
 

