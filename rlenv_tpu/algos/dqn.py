@@ -125,9 +125,19 @@ class ReplayBuffer:
         advances K-aligned from 0. One K-row update is the same HBM
         traffic as K single-row updates but 1/K the bookkeeping ops —
         and, more importantly, keeps the buffer OUT of the collect scan's
-        carry entirely."""
+        carry entirely.
+
+        Must not be interleaved with :meth:`add_batch` (which advances the
+        slot by 1, breaking K-alignment): ``dynamic_update_slice_in_dim``
+        CLAMPS out-of-range starts, so a misaligned ``slot + K > S`` write
+        would silently overwrite the tail rows instead of wrapping."""
         K = obs.shape[0]
         S = self.obs.shape[0]
+        if S % K:                     # K, S are static at trace time
+            raise ValueError(
+                f"add_block of {K} rows into a {S}-slot ring requires "
+                f"S % K == 0 (create(slot_block=...) guarantees this); "
+                f"a partial tail block would clamp, not wrap")
         upd = lambda buf, rows: jax.lax.dynamic_update_slice_in_dim(
             buf, rows.astype(buf.dtype), self.slot, axis=0)
         return ReplayBuffer(

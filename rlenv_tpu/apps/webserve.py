@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import base64
+import html
 import io
 import json
 import threading
@@ -198,7 +199,8 @@ class Handler(BaseHTTPRequestHandler):
     def do_GET(self) -> None:  # noqa: N802 (stdlib API)
         if self.path in ("/", "/index.html"):
             page = _PAGE.replace("MODEL_PATH_DEFAULT",
-                                 self.default_model_path)
+                                 html.escape(self.default_model_path,
+                                             quote=True))
             self._send(200, page.encode(), "text/html; charset=utf-8")
         elif self.path == "/state":
             self._send(200, json.dumps(STATE.snapshot()).encode())
@@ -241,6 +243,13 @@ def serve(host: str = "127.0.0.1", port: int = 7860,
           ) -> ThreadingHTTPServer:
     Handler.default_model_path = model_path
     httpd = ThreadingHTTPServer((host, port), Handler)
+    if host not in ("127.0.0.1", "localhost", "::1"):
+        # /start loads model files from client-supplied filesystem paths —
+        # fine on the loopback default, a remote-driven file probe on an
+        # open bind (same trust model as `gradioUI.py`'s share link).
+        print(f"WARNING: binding to {host!r} exposes model loading from "
+              f"arbitrary local paths to any network client; keep the "
+              f"default loopback bind unless the network is trusted.")
     print(f"PlantOS web UI on http://{host}:{httpd.server_address[1]}/")
     if block:
         try:

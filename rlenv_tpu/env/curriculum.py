@@ -22,6 +22,23 @@ Replicated semantics (PPO/DQN variant; A2C differences via
   with episode 2;
 * the A2C variant additionally forces termination the moment the threshold
   is met mid-episode (`A2C_training.py:101-104`).
+
+Reset amortization (``reset_pool``): the expensive part of ``do_resets``
+is the full-width vmapped env reset (map generation + initial obs), and in
+steady state SOME env finishes on most steps, so the `lax.cond` fires its
+full cost nearly every step (round-3 profiling, DESIGN.md "Known
+headroom"). But both candidate next states of every env are pure functions
+of keys that only change at that env's own resets: the same-maze candidate
+is ``reset(maze_key)`` and the fresh-maze candidate is
+``reset(split(key)[0])``. With ``reset_pool=R`` the wrapper therefore
+carries both candidates as device-resident spares: a finishing env swaps
+in the right spare (cheap selects — no map generation on the done path),
+the same-maze spare refreshes for free at consumption (the chosen reset
+state IS the next same-maze reset state), and consumed fresh-maze spares
+are regenerated in ONE batched reset at most every R steps. An env that
+finishes again before its fresh spare refills falls back to the full
+reset path under a (rare) inner cond — the trajectory is bit-identical to
+``reset_pool=0`` either way (`tests/test_vector_curriculum.py`).
 """
 
 from __future__ import annotations
@@ -52,16 +69,26 @@ class CurriculumState:
     persistent_set: jnp.ndarray        # bool[] — tracking engaged?
     episode_count: jnp.ndarray         # i32[]
     successful_explorations: jnp.ndarray  # i32[]
+    # Reset-pool spares (None when reset_pool=0 — empty pytree leaves, so
+    # the pool-less state layout is unchanged). See module docstring.
+    spare_same: EnvState = None        # reset(maze_key) candidate
+    spare_same_obs: jnp.ndarray = None
+    spare_fresh: EnvState = None       # reset(split(key)[0]) candidate
+    spare_fresh_obs: jnp.ndarray = None
+    spare_stale: jnp.ndarray = None    # bool[] — fresh spare consumed?
+    tick: jnp.ndarray = None           # i32 global step counter
 
 
 class CurriculumVecPlantOS:
     """Vectorized PlantOS with per-env progressive curriculum + auto-reset."""
 
     def __init__(self, env: PlantOS, num_envs: int,
-                 config: CurriculumConfig = CurriculumConfig()):
+                 config: CurriculumConfig = CurriculumConfig(),
+                 reset_pool: int = 0):
         self.env = env
         self.num_envs = num_envs
         self.config = config
+        self.reset_pool = reset_pool
         self._v_reset = jax.vmap(env.reset)
         self._v_step = jax.vmap(env.step)
 
@@ -111,6 +138,18 @@ class CurriculumVecPlantOS:
             episode_count=jnp.ones((B,), jnp.int32),
             successful_explorations=jnp.zeros((B,), jnp.int32),
         )
+        if self.reset_pool:
+            # Same-maze spare == the freshly built initial states (that is
+            # literally what reset(maze_key) produces); fresh-maze spare
+            # needs one extra batched reset, paid once at wrapper reset.
+            fresh_keys = jax.vmap(
+                lambda k: jax.random.split(k, 2))(cstate.key)[:, 0]
+            fresh_states, fresh_obs, _ = self._env_reset_batch(fresh_keys)
+            cstate = cstate.replace(
+                spare_same=env_states, spare_same_obs=obs,
+                spare_fresh=fresh_states, spare_fresh_obs=fresh_obs,
+                spare_stale=jnp.zeros((B,), bool),
+                tick=jnp.zeros((), jnp.int32))
         return cstate, obs, info
 
     def step(self, cstate: CurriculumState, actions: jnp.ndarray
@@ -159,7 +198,55 @@ class CurriculumVecPlantOS:
                 maze_key_next = jnp.where(
                     new_maze[:, None], fresh_maze_key, cstate.maze_key)
 
-            reset_states, reset_obs, _ = self._env_reset_batch(maze_key_next)
+            if self.reset_pool:
+                # Swap in the precomputed spare instead of regenerating:
+                # spare_fresh == reset(fresh_maze_key) and
+                # spare_same == reset(maze_key) by construction, so the
+                # selected state is bit-identical to
+                # _env_reset_batch(maze_key_next) — without the map-gen +
+                # initial-obs cost on the (near-every-step) done path.
+                use_fresh = (jnp.ones_like(new_maze)
+                             if cfg.fresh_map_each_reset else new_maze)
+                reset_states = _select(use_fresh, cstate.spare_fresh,
+                                       cstate.spare_same)
+                reset_obs = jnp.where(use_fresh[:, None],
+                                      cstate.spare_fresh_obs,
+                                      cstate.spare_same_obs)
+
+                # Rare fallback: an env finished again before its consumed
+                # fresh spare was refilled (possible only for episodes
+                # shorter than the refill interval).
+                need_fb = done & cstate.spare_stale
+
+                def fallback(args):
+                    reset_states, reset_obs = args
+                    full_states, full_obs, _ = self._env_reset_batch(
+                        maze_key_next)
+                    return (_select(need_fb, full_states, reset_states),
+                            jnp.where(need_fb[:, None], full_obs,
+                                      reset_obs))
+
+                reset_states, reset_obs = jax.lax.cond(
+                    jnp.any(need_fb), fallback, lambda a: a,
+                    (reset_states, reset_obs))
+                # The chosen (pre-visit-restore) reset state IS the next
+                # same-maze candidate reset(maze_key_next): refresh free.
+                spare_updates = dict(
+                    spare_same=_select(done, reset_states,
+                                       cstate.spare_same),
+                    spare_same_obs=jnp.where(done[:, None], reset_obs,
+                                             cstate.spare_same_obs),
+                    # key advances at EVERY reset, so the fresh candidate
+                    # (a function of key) is stale after any done.
+                    spare_stale=cstate.spare_stale | done,
+                    spare_fresh=cstate.spare_fresh,
+                    spare_fresh_obs=cstate.spare_fresh_obs,
+                    tick=cstate.tick,
+                )
+            else:
+                spare_updates = {}
+                reset_states, reset_obs, _ = self._env_reset_batch(
+                    maze_key_next)
 
             # Same-maze: restore persistent counts if tracking engaged,
             # else snapshot the fresh (post-reset) counter — which is how
@@ -193,6 +280,7 @@ class CurriculumVecPlantOS:
                 episode_count=cstate.episode_count + done.astype(jnp.int32),
                 successful_explorations=cstate.successful_explorations
                 + (done & maze_completed).astype(jnp.int32),
+                **spare_updates,
             )
             return new_cstate, jnp.where(done[:, None], reset_obs, obs)
 
@@ -203,6 +291,27 @@ class CurriculumVecPlantOS:
 
         new_cstate, new_obs = jax.lax.cond(
             jnp.any(done), do_resets, no_resets, (env_states, obs))
+
+        if self.reset_pool:
+            tick = cstate.tick + 1
+            new_cstate = new_cstate.replace(tick=tick)
+
+            def refill(cs):
+                # One batched reset regenerates ALL consumed fresh spares —
+                # amortized to at most once per reset_pool steps.
+                fresh_keys = jax.vmap(
+                    lambda k: jax.random.split(k, 2))(cs.key)[:, 0]
+                st, ob, _ = self._env_reset_batch(fresh_keys)
+                return cs.replace(
+                    spare_fresh=_select(cs.spare_stale, st, cs.spare_fresh),
+                    spare_fresh_obs=jnp.where(cs.spare_stale[:, None], ob,
+                                              cs.spare_fresh_obs),
+                    spare_stale=jnp.zeros_like(cs.spare_stale))
+
+            new_cstate = jax.lax.cond(
+                (tick % self.reset_pool == 0)
+                & jnp.any(new_cstate.spare_stale),
+                refill, lambda cs: cs, new_cstate)
 
         info = dict(info)
         info["final_obs"] = obs

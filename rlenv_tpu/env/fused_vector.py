@@ -161,8 +161,9 @@ class FusedCurriculumVecPlantOS(CurriculumVecPlantOS):
 
     def __init__(self, env: PlantOS, num_envs: int,
                  config: CurriculumConfig = CurriculumConfig(),
-                 block_envs: int = 128, interpret: bool | None = None):
-        super().__init__(env, num_envs, config)
+                 block_envs: int = 128, interpret: bool | None = None,
+                 reset_pool: int = 0):
+        super().__init__(env, num_envs, config, reset_pool=reset_pool)
         if interpret is None:
             dev = jax.devices()[0]
             interpret = not ("tpu" in dev.platform.lower()

@@ -265,6 +265,10 @@ def run_3d_viewer_process(update_queue, initial_data: dict,
             viewer.update_scene(msg["plants"], msg["rover_pos"],
                                 msg.get("stats"))
         if stop:
+            if msg is not None:
+                # Render the last pre-STOP state so the final frame of the
+                # session (e.g. the software backend's GIF) reflects it.
+                viewer.render_step()
             break
         viewer.render_step()
         time.sleep(poll_sleep)

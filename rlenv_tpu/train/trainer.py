@@ -35,25 +35,44 @@ from rlenv_tpu.train.metrics import (MonitorWriter, TensorBoardWriter,
 from rlenv_tpu.train.plotting import plot_learning_curve
 
 
+def _on_tpu() -> bool:
+    dev = jax.devices()[0]
+    return ("tpu" in dev.platform.lower()
+            or "tpu" in dev.device_kind.lower())
+
+
 def make_venv(env_config: EnvConfig, n_envs: int, use_curriculum: bool,
               curriculum: Optional[CurriculumConfig] = None,
-              fused: bool = False):
+              fused: Optional[bool] = None,
+              reset_pool: int = 0):
     """Env factory mirroring ``make_env_wrapper`` composition
     (`trainingCode.py:103-111`): raw env -> (curriculum) -> vectorized.
 
     ``fused=True`` steps the batch with the single-program Pallas kernel
     (`rlenv_tpu.ops.fused_step`) instead of the multi-kernel XLA path;
     bit-identical outputs (curriculum included, via
-    FusedCurriculumVecPlantOS). Pallas/Mosaic lowers on TPU; elsewhere the
-    kernel falls back to interpret mode (slow, tests only)."""
+    FusedCurriculumVecPlantOS). ``fused=None`` (the default) resolves to
+    True on TPU, False elsewhere: Pallas/Mosaic lowers on TPU, and the
+    interpret-mode fallback is orders of magnitude slower than the XLA
+    path, so each platform gets its fast bit-exact implementation. The
+    XLA path stays available everywhere via ``fused=False`` as the
+    verification mode (`tests/test_fused_step.py` asserts equality).
+
+    ``reset_pool=R`` (curriculum wrappers only) amortizes auto-reset map
+    generation to one batched program per R steps — bit-identical
+    trajectories, see ``rlenv_tpu.env.curriculum`` module docs."""
+    if fused is None:
+        fused = _on_tpu()
     env = PlantOS(env_config)
     if use_curriculum:
         if fused:
             from rlenv_tpu.env.fused_vector import FusedCurriculumVecPlantOS
             return FusedCurriculumVecPlantOS(
-                env, n_envs, curriculum or CurriculumConfig())
+                env, n_envs, curriculum or CurriculumConfig(),
+                reset_pool=reset_pool)
         return CurriculumVecPlantOS(env, n_envs,
-                                    curriculum or CurriculumConfig())
+                                    curriculum or CurriculumConfig(),
+                                    reset_pool=reset_pool)
     if fused:
         from rlenv_tpu.env.fused_vector import FusedVecPlantOS
         return FusedVecPlantOS(env, n_envs)
@@ -125,7 +144,8 @@ def train(algo: str = "a2c",
           total_timesteps: int = 100_000,
           n_envs: int = 64,
           use_curriculum: bool = False,
-          fused: bool = False,
+          fused: Optional[bool] = None,
+          reset_pool: int = 64,
           env_config: Optional[EnvConfig] = None,
           algo_config=None,
           curriculum_config: Optional[CurriculumConfig] = None,
@@ -149,7 +169,7 @@ def train(algo: str = "a2c",
     os.makedirs(models_dir, exist_ok=True)
 
     venv = make_venv(env_config, n_envs, use_curriculum, curriculum_config,
-                     fused=fused)
+                     fused=fused, reset_pool=reset_pool)
     trainer = make_trainer(algo, venv, algo_config, total_timesteps)
 
     # Jitted init: ONE compiled program (persistently cached) instead of a

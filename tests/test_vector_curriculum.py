@@ -124,6 +124,44 @@ def test_curriculum_visit_persistence_from_second_episode():
     assert v_after_ep2_reset.sum() > 1
 
 
+@pytest.mark.parametrize("pool", [8, 32])
+def test_reset_pool_bit_exact(pool):
+    """reset_pool amortization is bit-identical to the plain path across
+    many auto-resets. pool=8 < episode length exercises the normal
+    refill cadence; pool=32 > the 13-step episodes forces consumption of
+    stale spares, exercising the full-reset fallback cond."""
+    env = PlantOS(EnvConfig(grid_size=8, num_plants=3, num_obstacles=3,
+                            lidar_range=2, lidar_channels=4, max_steps=13))
+    ccfg = CurriculumConfig.ppo_dqn()
+    v0 = CurriculumVecPlantOS(env, 8, ccfg)
+    v1 = CurriculumVecPlantOS(env, 8, ccfg, reset_pool=pool)
+    key = jax.random.PRNGKey(0)
+    s0, o0, _ = jax.jit(v0.reset)(key)
+    s1, o1, _ = jax.jit(v1.reset)(key)
+    assert bool(jnp.all(o0 == o1))
+
+    def rollout(venv, cstate):
+        def body(carry, t):
+            cs, k = carry
+            k, ka = jax.random.split(k)
+            a = jax.random.randint(ka, (8,), 0, 5)
+            cs, o, r, te, tr, i = venv.step(cs, a)
+            return (cs, k), (o, r, te, tr)
+        (cs, _), traj = jax.lax.scan(
+            body, (cstate, jax.random.PRNGKey(1)), jnp.arange(45))
+        return cs, traj
+
+    s0, traj0 = jax.jit(lambda s: rollout(v0, s))(s0)
+    s1, traj1 = jax.jit(lambda s: rollout(v1, s))(s1)
+    for a, b in zip(traj0, traj1):
+        assert bool(jnp.all(a == b))
+    for a, b in zip(jax.tree.leaves(s0.env), jax.tree.leaves(s1.env)):
+        assert bool(jnp.all(a == b))
+    if pool == 32:
+        # the stale window really was exercised
+        assert bool(s1.spare_stale.any())
+
+
 def test_curriculum_threshold_progression():
     """Meeting the threshold bumps it by the increment, capped at
     max_threshold; unmet thresholds stall."""
