@@ -8,13 +8,21 @@ installable in this image — so the Ursina backend here
 This module provides a second implementation of the same stage interface
 (``sync`` / ``set_hud`` / ``spin_rover`` / ``clear`` / ``frame`` /
 ``quit``) that renders real 3-D frames itself: a perspective pinhole
-camera orbiting the scene, painter's-algorithm rasterization of the
-ground plane and obstacle cubes (back-face culled, Lambert-shaded),
-camera-facing billboard sprites for rover and plants (with the
-reference's texture files when available, flat-color discs otherwise),
-the wireframe cell highlighter, the HUD text block, and the 3x360-degree
-watering spin (sprite swap + in-plane rotation over ~1 s, reference
-`:136-149`).
+camera orbiting the scene, painter's-algorithm rasterization (per-FACE
+depth sort) of the ground plane and obstacle cubes — both
+perspective-correct texture-mapped with the reference's texture files
+when available (ground tiled ``grid_size x grid_size`` exactly like the
+reference's ``texture_scale``, `plantos_3d_viewer_new.py:47-53`; cube
+faces Lambert-shaded, `:55-65`), flat colors otherwise — camera-facing
+billboard sprites for rover and plants, the wireframe cell highlighter,
+the HUD text block, and the 3x360-degree watering spin (sprite swap +
+in-plane rotation over ~1 s, reference `:136-149`).
+
+Texture mapping: the image of a planar quad under a pinhole camera is a
+projective (homography) transform, so each visible face maps its texture
+through PIL's PERSPECTIVE transform with coefficients from an 8x8 linear
+solve — perspective-CORRECT, not merely affine, and still pure
+numpy+PIL.
 
 Pure numpy + PIL (already required for GIF artifacts); no display, no
 GPU, no game engine. ``PlantOS3DViewer(stage_factory=SoftwareStage)``
@@ -104,6 +112,16 @@ _LIGHT = np.array([-1.0, -1.0, 1.0])  # reference DirectionalLight direction
 _LIGHT = _LIGHT / np.linalg.norm(_LIGHT)
 
 
+def _homography_coeffs(dst: np.ndarray, src: np.ndarray) -> np.ndarray:
+    """PIL PERSPECTIVE coefficients mapping output (screen-local) points to
+    input (texture) points: for each corner, ``src = H(dst)``."""
+    A, b = [], []
+    for (x, y), (u, v) in zip(dst, src):
+        A.append([x, y, 1, 0, 0, 0, -u * x, -u * y]); b.append(u)
+        A.append([0, 0, 0, x, y, 1, -v * x, -v * y]); b.append(v)
+    return np.linalg.solve(np.asarray(A, float), np.asarray(b, float))
+
+
 def _cube_corners(center, scale) -> np.ndarray:
     cx, cy, cz = center
     sx, sy, sz = (scale if isinstance(scale, (tuple, list))
@@ -138,6 +156,8 @@ class SoftwareStage:
         self._max_gif_frames = max_gif_frames
         self._gif_frames: List[Any] = []
         self._textures: Dict[str, Optional[np.ndarray]] = {}
+        self._tex_pil: Dict[str, Any] = {}
+        self._ground_tiled: Dict[int, Any] = {}
         # Texture lookup mirrors the reference: files beside the cwd (or an
         # explicit assets dir); missing -> flat-color fallbacks.
         for tint, fname in TEXTURE_FILES.items():
@@ -200,23 +220,36 @@ class SoftwareStage:
         img = Image.new("RGB", (cam.width, cam.height), SKY_RGB)
         draw = ImageDraw.Draw(img, "RGBA")
 
-        # Collect drawables with depth for the painter's sort.
-        solids: List[Tuple[float, str, Any]] = []
+        # Ground first (everything rests on it), then every remaining
+        # primitive — each visible CUBE FACE individually, wires,
+        # billboards — painter-sorted far -> near by its own depth.
+        ops: List[Tuple[float, Any]] = []
         for key, spec in self._scene.items():
+            if spec.kind == "plane":
+                self._draw_ground(img, draw, spec)
+                continue
             center = np.asarray(spec.world_pos, float)
             _, z = cam.project(center[None])
-            solids.append((float(z[0]), key, spec))
-        solids.sort(key=lambda t: -t[0])             # far -> near
-
-        for depth, key, spec in solids:
-            if spec.kind == "plane":
-                self._draw_ground(draw, spec)
-            elif spec.kind == "cube":
-                self._draw_cube(draw, spec)
+            depth = float(z[0])
+            if spec.kind == "cube":
+                corners = _cube_corners(spec.world_pos, spec.scale)
+                for face_idx, normal in _CUBE_FACES:
+                    n = np.asarray(normal, float)
+                    face = corners[list(face_idx)]
+                    to_cam = cam.pos - face.mean(axis=0)
+                    if np.dot(n, to_cam) <= 0:       # back-face cull
+                        continue
+                    _, fz = cam.project(face.mean(axis=0)[None])
+                    ops.append((float(fz[0]),
+                                (self._draw_cube_face, img, draw, face, n)))
             elif spec.kind == "wire":
-                self._draw_wire(draw, spec)
+                ops.append((depth, (self._draw_wire, draw, spec)))
             elif spec.kind == "billboard":
-                self._draw_billboard(img, spec, depth)
+                ops.append((depth, (self._draw_billboard, img, spec,
+                                    depth)))
+        ops.sort(key=lambda t: -t[0])                # far -> near
+        for _, (fn, *args) in ops:
+            fn(*args)
 
         if self._hud:
             draw = ImageDraw.Draw(img, "RGBA")
@@ -226,23 +259,85 @@ class SoftwareStage:
                                 fill=(255, 255, 255))
         return np.asarray(img, dtype=np.uint8)
 
+    def _tex_image(self, tint: str):
+        """Cached PIL RGBA of a loaded texture (None when unavailable)."""
+        if tint in self._tex_pil:
+            return self._tex_pil[tint]
+        from PIL import Image
+        arr = self._textures.get(tint)
+        pil = Image.fromarray(arr) if arr is not None else None
+        self._tex_pil[tint] = pil
+        return pil
+
+    def _textured_poly(self, img, world_pts: np.ndarray, tex,
+                       shade: float = 1.0) -> bool:
+        """Perspective-correct map of ``tex`` onto the projected quad.
+
+        The planar quad's screen image is a homography of the texture
+        square; PIL's PERSPECTIVE transform applies the inverse mapping
+        (output pixel -> texture coords) from an 8x8 solve. Returns False
+        when the quad is behind the camera or off screen."""
+        from PIL import Image, ImageDraw, ImageEnhance
+
+        scr, z = self.camera.project(world_pts)
+        if (z <= 1e-5).any():
+            return False
+        x0 = max(int(math.floor(scr[:, 0].min())), 0)
+        y0 = max(int(math.floor(scr[:, 1].min())), 0)
+        x1 = min(int(math.ceil(scr[:, 0].max())), img.width)
+        y1 = min(int(math.ceil(scr[:, 1].max())), img.height)
+        w, h = x1 - x0, y1 - y0
+        if w <= 0 or h <= 0:
+            return False
+        local = scr - np.array([x0, y0], float)
+        tw, th = tex.size
+        coeffs = _homography_coeffs(
+            local, np.array([[0, 0], [tw, 0], [tw, th], [0, th]], float))
+        patch = tex.transform((w, h), Image.PERSPECTIVE, tuple(coeffs),
+                              Image.BILINEAR)
+        if shade != 1.0:
+            patch = ImageEnhance.Brightness(patch).enhance(shade)
+        mask = Image.new("L", (w, h), 0)
+        ImageDraw.Draw(mask).polygon([tuple(p) for p in local], fill=255)
+        if patch.mode == "RGBA":
+            from PIL import ImageChops
+            mask = ImageChops.multiply(mask, patch.getchannel("A"))
+        img.paste(patch.convert("RGB"), (x0, y0), mask)
+        return True
+
     def _poly(self, draw, world_pts: np.ndarray, fill) -> None:
         scr, z = self.camera.project(world_pts)
         if (z <= 1e-5).any():
             return
         draw.polygon([tuple(p) for p in scr], fill=fill)
 
-    def _draw_ground(self, draw, spec: Sprite3D) -> None:
+    def _ground_texture(self, reps: int):
+        """The grass texture tiled ``reps x reps`` — the reference's
+        ``texture_scale=(grid_size, grid_size)``
+        (`plantos_3d_viewer_new.py:47-53`). Cached per rep count."""
+        if reps in self._ground_tiled:
+            return self._ground_tiled[reps]
+        tex = self._tex_image("ground")
+        tiled = None
+        if tex is not None:
+            from PIL import Image
+            cell = 512 // max(reps, 1)
+            if cell >= 4:
+                small = np.asarray(tex.convert("RGB").resize((cell, cell)))
+                tiled = Image.fromarray(np.tile(small, (reps, reps, 1)))
+        self._ground_tiled[reps] = tiled
+        return tiled
+
+    def _draw_ground(self, img, draw, spec: Sprite3D) -> None:
         sx, _, sz = spec.scale if isinstance(spec.scale, (tuple, list)) \
             else (spec.scale,) * 3
         cx, cy, cz = spec.world_pos
         hx, hz = sx / 2, sz / 2
         quad = np.array([[cx - hx, cy, cz - hz], [cx + hx, cy, cz - hz],
                          [cx + hx, cy, cz + hz], [cx - hx, cy, cz + hz]])
-        tex = self._textures.get("ground")
-        base = (tuple(np.asarray(tex[..., :3]).reshape(-1, 3).mean(0)
-                      .astype(int)) if tex is not None else GROUND_RGB)
-        self._poly(draw, quad, base)
+        tiled = self._ground_texture(int(round(sx)))
+        if tiled is None or not self._textured_poly(img, quad, tiled):
+            self._poly(draw, quad, GROUND_RGB)
         # grid lines give the ground its tiled look
         n = int(round(sx))
         for i in range(n + 1):
@@ -256,21 +351,16 @@ class SoftwareStage:
                     draw.line([tuple(scr[0]), tuple(scr[1])],
                               fill=(255, 255, 255, 60))
 
-    def _draw_cube(self, draw, spec: Sprite3D) -> None:
-        corners = _cube_corners(spec.world_pos, spec.scale)
-        tex = self._textures.get("obstacle")
-        base = np.asarray(
-            tex[..., :3].reshape(-1, 3).mean(0) if tex is not None
-            else OBSTACLE_RGB, float)
-        for face_idx, normal in _CUBE_FACES:
-            n = np.asarray(normal, float)
-            face = corners[list(face_idx)]
-            to_cam = self.camera.pos - face.mean(axis=0)
-            if np.dot(n, to_cam) <= 0:           # back-face cull
-                continue
-            lambert = 0.45 + 0.55 * max(np.dot(n, -_LIGHT), 0.0)
-            color = tuple(np.clip(base * lambert, 0, 255).astype(int))
-            self._poly(draw, face, color)
+    def _draw_cube_face(self, img, draw, face: np.ndarray, n: np.ndarray
+                        ) -> None:
+        lambert = 0.45 + 0.55 * max(np.dot(n, -_LIGHT), 0.0)
+        tex = self._tex_image("obstacle")
+        if tex is not None and self._textured_poly(img, face, tex,
+                                                   shade=lambert):
+            return
+        base = np.asarray(OBSTACLE_RGB, float)
+        color = tuple(np.clip(base * lambert, 0, 255).astype(int))
+        self._poly(draw, face, color)
 
     def _draw_wire(self, draw, spec: Sprite3D) -> None:
         corners = _cube_corners(spec.world_pos, spec.scale)

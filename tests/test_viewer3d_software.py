@@ -56,6 +56,41 @@ def test_stage_renders_scene_pixels():
         "thirsty plant billboard drawn"
 
 
+def test_stage_texture_maps_ground_and_cubes(tmp_path):
+    """Ground and obstacle faces are perspective-correct TEXTURE-mapped
+    (reference `plantos_3d_viewer_new.py:47-65`), not average-color
+    fills: with a high-contrast checkerboard as both textures, the
+    rendered faces must be non-uniform with both checker tones present."""
+    from PIL import Image
+
+    from rlenv_tpu.render.stage_software import TEXTURE_FILES
+
+    checker = np.zeros((16, 16, 3), np.uint8)
+    checker[:8, :8] = checker[8:, 8:] = (250, 250, 250)
+    checker[:8, 8:] = checker[8:, :8] = (60, 60, 60)
+    for tint in ("ground", "obstacle"):
+        Image.fromarray(checker).save(tmp_path / TEXTURE_FILES[tint])
+
+    stage = SoftwareStage(width=320, height=240,
+                          assets_dir=str(tmp_path))
+    stage.sync(describe_scene(SCENE["grid_size"], SCENE["obstacles"],
+                              SCENE["plants"], SCENE["rover_pos"]))
+    stage.frame()
+    colors = stage.last_frame.reshape(-1, 3)
+    # Both checker tones appear in quantity. The dark tone only comes from
+    # textures (sky/discs/HUD are none of these colors); shading scales
+    # the obstacle faces but the ground is unshaded, so the bright tone
+    # survives exactly.
+    bright = (np.abs(colors.astype(int) - 250).max(1) < 20).sum()
+    dark = (np.abs(colors.astype(int) - 60).max(1) < 20).sum()
+    assert bright > 500 and dark > 500, (bright, dark)
+    # an average-color fill would collapse each face to ONE value;
+    # require many distinct values in the gray family instead
+    grayish = colors[(np.abs(colors[:, 0].astype(int) - colors[:, 1]) < 8)
+                     & (np.abs(colors[:, 1].astype(int) - colors[:, 2]) < 8)]
+    assert len(np.unique(grayish[:, 0])) > 10
+
+
 def test_stage_uses_reference_textures():
     ref = "/root/reference/assets"
     if not os.path.isdir(ref):
