@@ -52,13 +52,40 @@ from rlenv_tpu.env.state import EnvState
 _NO_NODE = jnp.int32(-1)
 
 
+def policy_score_fn(runner):
+    """Turn a loaded :class:`rlenv_tpu.apps.policies.PolicyRunner` (DQN or
+    A2C; the recurrent PPO policy has episode state and is not usable as a
+    stateless rollout prior) into the pure ``obs -> scores`` fn
+    :class:`MCTSPlanner` expects. Q-values and actor logits both rank
+    actions, which is all the greedy rollout prior needs."""
+    if runner.model_type == "dqn":
+        return lambda obs: runner.model.apply(runner.params, obs)
+    if runner.model_type == "a2c":
+        return lambda obs: runner.model.apply(runner.params, obs)[0]
+    raise ValueError(
+        f"rollout prior needs a stateless policy (dqn/a2c), "
+        f"got {runner.model_type!r}")
+
+
 class MCTSPlanner:
     """Model-based planner over the functional PlantOS env (no NN)."""
 
     def __init__(self, env: PlantOS, config: MCTSConfig = MCTSConfig(),
-                 interpret: bool | None = None):
+                 interpret: bool | None = None, rollout_policy=None):
+        """``rollout_policy``: optional trained prior for the rollout phase
+        — a pure fn ``obs[obs_dim] -> scores[num_actions]`` (e.g. a trained
+        Q-network's values or an actor's logits; build one from a saved
+        checkpoint with :func:`policy_score_fn`). With probability
+        ``config.rollout_policy_prob`` each rollout step takes the prior's
+        greedy action instead of the reference's 70/30
+        least-visited/random draw (`mcts_custom_trainer.py:168-216`);
+        under ``vmap`` the per-step policy evaluations batch into
+        MXU-shaped matmuls, so guidance is nearly free on TPU. The fused
+        Pallas search path keeps the in-kernel 70/30 policy (guided search
+        goes through ``search_batch``)."""
         self.env = env
         self.config = config
+        self.rollout_policy = rollout_policy
         self._deltas = jnp.asarray(_ACTION_DELTAS[:4])
         # jit-compiled batched search: (EnvState batch, keys[B]) -> actions[B]
         self.search_batch = jax.jit(jax.vmap(self.search))
@@ -68,8 +95,9 @@ class MCTSPlanner:
 
     # -- rollout policy (`mcts_custom_trainer.py:168-216`) -------------------
 
-    def _rollout_action(self, key: jax.Array, state: EnvState) -> jnp.ndarray:
-        k_mode, k_rand, k_fallback = jax.random.split(key, 3)
+    def _rollout_action(self, key: jax.Array, state: EnvState,
+                        obs: jnp.ndarray) -> jnp.ndarray:
+        k_mode, k_rand, k_fallback, k_pol = jax.random.split(key, 4)
         g = self.env.config.grid_size
 
         neighbors = state.rover[None, :] + self._deltas            # [4, 2]
@@ -82,7 +110,13 @@ class MCTSPlanner:
                          jax.random.randint(k_fallback, (), 0, 5))
         rand = jax.random.randint(k_rand, (), 0, 5)
         use_heur = jax.random.uniform(k_mode) < self.config.rollout_heuristic_prob
-        return jnp.where(use_heur, heur, rand).astype(jnp.int32)
+        base = jnp.where(use_heur, heur, rand).astype(jnp.int32)
+        if self.rollout_policy is None:
+            return base
+        pol = jnp.argmax(self.rollout_policy(obs)).astype(jnp.int32)
+        use_pol = (jax.random.uniform(k_pol)
+                   < self.config.rollout_policy_prob)
+        return jnp.where(use_pol, pol, base)
 
     # -- helpers -------------------------------------------------------------
 
@@ -176,23 +210,27 @@ class MCTSPlanner:
 
             # --- ROLLOUT (`mcts_custom_trainer.py:139-166`) ---
             def roll_cond(c):
-                sim, d, total, stop, k = c
+                sim, obs, d, total, stop, k = c
                 return (d < cfg.max_depth) & ~stop
 
             def roll_body(c):
-                sim, d, total, stop, k = c
+                sim, obs, d, total, stop, k = c
                 k, k_act = jax.random.split(k)
-                action = self._rollout_action(k_act, sim)
-                sim, _, reward, term, trunc, info = self.env.step(sim, action)
+                action = self._rollout_action(k_act, sim, obs)
+                sim, obs, reward, term, trunc, info = self.env.step(
+                    sim, action)
                 done = term | trunc
                 bonus = jnp.where(
                     done & (info["exploration_percentage"] >= 100.0),
                     cfg.completion_bonus, 0.0)
-                return (sim, d + 1, total + reward + bonus, done, k)
+                return (sim, obs, d + 1, total + reward + bonus, done, k)
 
-            _, _, rollout_return, _, _ = jax.lax.while_loop(
+            # obs only feeds the optional rollout policy; env.step keeps it
+            # current thereafter (XLA drops it when no policy is set).
+            obs0 = self.env.observe(sim)
+            _, _, _, rollout_return, _, _ = jax.lax.while_loop(
                 roll_cond, roll_body,
-                (sim, depth, jnp.float32(0), jnp.bool_(False), k_roll))
+                (sim, obs0, depth, jnp.float32(0), jnp.bool_(False), k_roll))
 
             # --- BACKPROP (`mcts_custom_trainer.py:131-134`) ---
             def bp_cond(c):

@@ -115,9 +115,12 @@ def main(argv=None) -> None:
     t.add_argument("--log-dir", type=str, default=None)
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--resume", action="store_true")
-    t.add_argument("--fused", action="store_true",
-                   help="Step envs with the fused Pallas kernel "
-                        "(rlenv_tpu/ops/fused_step.py)")
+    t.add_argument("--fused", action="store_true", default=None,
+                   help="Force the fused Pallas env kernel "
+                        "(rlenv_tpu/ops/fused_step.py). Default: auto — "
+                        "fused on TPU, XLA elsewhere (bit-identical)")
+    t.add_argument("--no-fused", dest="fused", action="store_false",
+                   help="Force the XLA env path (verification mode)")
     _add_env_args(t)
 
     e = sub.add_parser("test", help="Run a trained model with rendering")

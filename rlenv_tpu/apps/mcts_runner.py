@@ -34,19 +34,37 @@ def run_mcts(n_episodes: int = 50, n_simulations: int = 50,
              render: bool = False, seed: int = 0,
              max_episode_steps: Optional[int] = None,
              fused: bool = False,
+             policy_path: Optional[str] = None,
+             policy_type: str = "auto",
+             rollout_policy_prob: float = 0.8,
              verbose: bool = True) -> dict:
     """Plan with MCTS over batches of episodes; returns the stats dict
-    (same keys as the reference pickles, `mcts_custom_trainer.py:347-353`)."""
+    (same keys as the reference pickles, `mcts_custom_trainer.py:347-353`).
+
+    ``policy_path``: load a trained DQN/A2C checkpoint as the rollout
+    prior (policy-guided rollouts; see ``MCTSPlanner.rollout_policy``).
+    Guided search runs through the XLA path, so ``fused`` is ignored
+    when a policy is set."""
     if save_dir:
         os.makedirs(save_dir, exist_ok=True)
     env_cfg = EnvConfig(grid_size=grid_size, num_plants=num_plants,
                         num_obstacles=num_obstacles, lidar_range=6,
                         lidar_channels=16)
     env = PlantOS(env_cfg)
+    rollout_policy = None
+    if policy_path:
+        from rlenv_tpu.algos.mcts import policy_score_fn
+        from rlenv_tpu.apps.policies import load_policy
+        rollout_policy = policy_score_fn(
+            load_policy(policy_path, policy_type, env_cfg))
+        fused = False
     planner = MCTSPlanner(env, MCTSConfig(n_simulations=n_simulations,
                                           max_depth=max_depth,
                                           max_nodes=max(n_simulations + 8,
-                                                        32)))
+                                                        32),
+                                          rollout_policy_prob=
+                                          rollout_policy_prob),
+                          rollout_policy=rollout_policy)
     v_step = jax.jit(jax.vmap(env.step))
     horizon = max_episode_steps or env_cfg.max_steps
 
@@ -141,11 +159,18 @@ def main() -> None:
     parser.add_argument("--render", action="store_true")
     parser.add_argument("--fused", action="store_true",
                         help="Use the Pallas fused search path (TPU)")
+    parser.add_argument("--policy", type=str, default=None,
+                        help="Trained DQN/A2C checkpoint as rollout prior")
+    parser.add_argument("--policy-type", type=str, default="auto")
+    parser.add_argument("--policy-prob", type=float, default=0.8,
+                        help="Per-step probability of the prior's action")
     args = parser.parse_args()
     run_mcts(n_episodes=args.episodes, n_simulations=args.simulations,
              grid_size=args.grid_size, num_plants=args.plants,
              num_obstacles=args.obstacles, parallel=args.parallel,
              render=args.render, fused=args.fused,
+             policy_path=args.policy, policy_type=args.policy_type,
+             rollout_policy_prob=args.policy_prob,
              save_dir="mcts_models" if args.mode == "train" else None)
 
 

@@ -250,3 +250,7 @@ class MCTSConfig:
     rollout_heuristic_prob: float = 0.7   # `mcts_custom_trainer.py:180`
     completion_bonus: float = 500.0       # `mcts_custom_trainer.py:162-164`
     max_nodes: int = 256                  # fixed-size device tree capacity
+    # With a trained rollout prior loaded (MCTSPlanner(rollout_policy=...)),
+    # probability per rollout step of taking the prior's greedy action;
+    # the remaining mass falls back to the reference's 70/30 draw.
+    rollout_policy_prob: float = 0.8

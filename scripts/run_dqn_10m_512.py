@@ -26,9 +26,12 @@ if __name__ == "__main__":
         total_timesteps=10_000_000,
         n_envs=512,
         use_curriculum=True,
-        # DQN_FUSED=1 steps the batch with the fused Pallas kernel
-        # (bit-identical to the XLA path; ~27x faster env at this width)
-        fused=os.environ.get("DQN_FUSED", "0") == "1",
+        # fused resolves by platform now (Pallas kernel on TPU, XLA
+        # elsewhere; bit-identical). DQN_FUSED=0 forces the XLA
+        # verification path; DQN_FUSED=1 forces Pallas.
+        fused=(None if "DQN_FUSED" not in os.environ
+               else os.environ["DQN_FUSED"] == "1"),
+        reset_pool=int(os.environ.get("DQN_RESET_POOL", 64)),
         env_config=env_config,
         curriculum_config=CurriculumConfig.ppo_dqn(),
         log_dir=os.environ.get("DQN_LOG_DIR", "runs/dqn_tpu_10m_512env"),

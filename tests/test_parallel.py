@@ -4,7 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from rlenv_tpu import EnvConfig, PlantOS
 from rlenv_tpu.config import A2CConfig, CurriculumConfig
@@ -179,6 +179,74 @@ def test_sharded_recurrent_ppo_training_step():
 
 
 @pytest.mark.slow
+def test_elastic_sharded_checkpoint_resume(tmp_path):
+    """Mesh-shape-elastic resume: a train state saved while sharded over
+    an 8-device {'data':4,'model':2} mesh restores onto a DIFFERENT
+    4-device {'data':2,'model':2} mesh (and back onto 8) and continues
+    training with numerics matching an uninterrupted single-device run.
+    Orbax stores the logical arrays; the restore template's NamedShardings
+    dictate the new layout — the distributed-runtime behavior a real
+    pod-resize needs."""
+    from rlenv_tpu.train.checkpoint import CheckpointManager
+
+    env = PlantOS(_tiny_env_config())
+    venv = CurriculumVecPlantOS(env, 16, CurriculumConfig.ppo_dqn())
+    trainer = A2CTrainer(venv, A2CConfig(hidden_sizes=(32, 32), n_steps=2))
+    state = trainer.init(jax.random.PRNGKey(0))
+
+    # uninterrupted single-device reference: two iterations
+    ref1, _ = jax.jit(trainer.train_iteration)(state)
+    ref2, _ = jax.jit(trainer.train_iteration)(ref1)
+
+    def shard_for(mesh, st):
+        return st.replace(
+            env_state=shard_batch(st.env_state, mesh),
+            obs=shard_batch(st.obs, mesh),
+            params=shard_params(st.params, mesh),
+            opt_state=shard_params(st.opt_state, mesh),
+        )
+
+    mesh8 = make_mesh(8, model_parallel=2)
+    with jax.set_mesh(mesh8):
+        out8, _ = jax.jit(trainer.train_iteration)(shard_for(mesh8, state))
+
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+    ckpt.save(1, out8)
+    ckpt.wait()
+
+    # resume on the SMALLER mesh: template shardings drive the layout
+    mesh4 = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                 ("data", "model"))
+    template4 = shard_for(mesh4, jax.tree.map(np.zeros_like, state))
+    restored = ckpt.restore(template4)
+    kern = restored.params["params"]["pi_tower"]["dense_0"]["kernel"]
+    assert kern.sharding.is_equivalent_to(
+        NamedSharding(mesh4, P(None, "model")), 2)
+    for a, b in zip(jax.tree.leaves(ref1.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-3)
+
+    with jax.set_mesh(mesh4):
+        out4, metrics = jax.jit(trainer.train_iteration)(restored)
+    assert np.isfinite(float(metrics["loss"]))
+    for a, b in zip(jax.tree.leaves(ref2.params),
+                    jax.tree.leaves(out4.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-3)
+
+    # and back up: the 4-device state restores onto the 8-device mesh
+    ckpt.save(2, out4)
+    ckpt.wait()
+    restored8 = ckpt.restore(shard_for(mesh8,
+                                       jax.tree.map(np.zeros_like, state)))
+    for a, b in zip(jax.tree.leaves(out4.params),
+                    jax.tree.leaves(restored8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
+    ckpt.close()
+
+
 def test_multihost_two_process_demo():
     """True multi-HOST execution: two separate processes, each owning 4 CPU
     devices, joined by jax.distributed into one 8-device ('data','model')
