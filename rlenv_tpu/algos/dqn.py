@@ -56,6 +56,7 @@ class ReplayBuffer:
     actions: jnp.ndarray    # i32[S, B]
     rewards: jnp.ndarray    # f32[S, B]
     terminated: jnp.ndarray  # bool[S, B]
+    done: jnp.ndarray       # bool[S, B] term|trunc — episode boundary
     slot: jnp.ndarray       # i32[] next write slot
     filled: jnp.ndarray     # i32[] slots currently filled
 
@@ -81,6 +82,7 @@ class ReplayBuffer:
             actions=jnp.zeros((S, B), jnp.int32),
             rewards=jnp.zeros((S, B), jnp.float32),
             terminated=jnp.zeros((S, B), bool),
+            done=jnp.zeros((S, B), bool),
             slot=jnp.int32(0),
             filled=jnp.int32(0),
         )
@@ -98,11 +100,13 @@ class ReplayBuffer:
         """Transitions currently stored."""
         return self.filled * self.obs.shape[1]
 
-    def add_batch(self, obs, next_obs, actions, rewards, terminated
-                  ) -> "ReplayBuffer":
+    def add_batch(self, obs, next_obs, actions, rewards, terminated,
+                  done=None) -> "ReplayBuffer":
         assert obs.shape[0] == self.batch_width, \
             f"batch width {obs.shape[0]} != buffer width {self.batch_width}"
         S = self.obs.shape[0]
+        if done is None:
+            done = terminated
         upd = lambda buf, row: jax.lax.dynamic_update_index_in_dim(
             buf, row.astype(buf.dtype), self.slot, 0)
         return ReplayBuffer(
@@ -111,12 +115,13 @@ class ReplayBuffer:
             actions=upd(self.actions, actions),
             rewards=upd(self.rewards, rewards),
             terminated=upd(self.terminated, terminated),
+            done=upd(self.done, done),
             slot=(self.slot + 1) % S,
             filled=jnp.minimum(self.filled + 1, S),
         )
 
-    def add_block(self, obs, next_obs, actions, rewards, terminated
-                  ) -> "ReplayBuffer":
+    def add_block(self, obs, next_obs, actions, rewards, terminated,
+                  done=None) -> "ReplayBuffer":
         """Write K consecutive slots in ONE dynamic-slice update.
 
         Inputs are time-major ``[K, B, ...]`` (the stacked ys of a collect
@@ -138,6 +143,8 @@ class ReplayBuffer:
                 f"add_block of {K} rows into a {S}-slot ring requires "
                 f"S % K == 0 (create(slot_block=...) guarantees this); "
                 f"a partial tail block would clamp, not wrap")
+        if done is None:
+            done = terminated
         upd = lambda buf, rows: jax.lax.dynamic_update_slice_in_dim(
             buf, rows.astype(buf.dtype), self.slot, axis=0)
         return ReplayBuffer(
@@ -146,6 +153,7 @@ class ReplayBuffer:
             actions=upd(self.actions, actions),
             rewards=upd(self.rewards, rewards),
             terminated=upd(self.terminated, terminated),
+            done=upd(self.done, done),
             slot=(self.slot + K) % S,
             filled=jnp.minimum(self.filled + K, S),
         )
@@ -158,6 +166,51 @@ class ReplayBuffer:
         return dict(obs=self.obs[s, l], next_obs=self.next_obs[s, l],
                     actions=self.actions[s, l], rewards=self.rewards[s, l],
                     terminated=self.terminated[s, l])
+
+    def sample_nstep(self, key: jax.Array, batch_size: int, n: int,
+                     gamma: float) -> Dict[str, jnp.ndarray]:
+        """Sample with n-step returns composed AT SAMPLE TIME.
+
+        The slot-major layout makes successors free: slot ``s+k`` of lane
+        ``l`` holds the SAME env's transition ``k`` vec-steps later, so
+        n-step needs only a strided gather — no separate n-step buffer.
+        Composition stops at the first episode boundary (``done`` — term
+        OR trunc: the auto-reset successor belongs to a new episode) and
+        at the ring's write head (the next slot there is either unwritten
+        or the ring's OLDEST data, not this transition's successor).
+        Returns the composed reward ``reward_n`` =
+        sum_k gamma^k r_{t+k}, the bootstrap observation ``boot_obs`` at
+        the last composed step, ``discount`` = gamma^{steps used}, and
+        ``boot_mask`` (0 when the window ended in termination — truncation
+        keeps the bootstrap, SB3's handle_timeout_termination)."""
+        S, B = self.obs.shape[0], self.batch_width
+        idx = jax.random.randint(key, (batch_size,), 0,
+                                 jnp.maximum(self.size, 1))
+        s, l = idx // B, idx % B
+        newest = (self.slot - 1) % S
+        # vec-steps from s to the newest written slot, in ring order
+        ahead = (newest - s) % S
+        ks = jnp.arange(n)                                  # [n]
+        slots = (s[:, None] + ks[None, :]) % S              # [bs, n]
+        r = self.rewards[slots, l[:, None]]                 # [bs, n]
+        d = self.done[slots, l[:, None]]                    # [bs, n]
+        # include step k iff no boundary before it and the ring still has
+        # this episode's successor there
+        no_prior_done = jnp.cumprod(
+            jnp.concatenate([jnp.ones((batch_size, 1), jnp.int32),
+                             (~d[:, :-1]).astype(jnp.int32)], axis=1),
+            axis=1).astype(bool)                            # [bs, n]
+        include = no_prior_done & (ks[None, :] <= ahead[:, None])
+        gammas = gamma ** ks.astype(jnp.float32)            # [n]
+        reward_n = jnp.sum(r * include * gammas[None, :], axis=1)
+        last = jnp.sum(include.astype(jnp.int32), axis=1) - 1  # [bs] >= 0
+        last_slot = (s + last) % S
+        boot_obs = self.next_obs[last_slot, l]
+        boot_mask = ~self.terminated[last_slot, l]
+        discount = gamma ** (last + 1).astype(jnp.float32)
+        return dict(obs=self.obs[s, l], actions=self.actions[s, l],
+                    reward_n=reward_n, boot_obs=boot_obs,
+                    boot_mask=boot_mask, discount=discount)
 
 
 @struct.dataclass
@@ -183,9 +236,27 @@ class DQNTrainer:
         self.total_timesteps = total_timesteps
         self.model = QNetwork(num_actions=venv.num_actions,
                               hidden_sizes=config.hidden_sizes)
+        if config.lr_decay_start_fraction < 1.0:
+            # Linear decay from lr to lr*lr_final_scale over the last
+            # (1 - start_fraction) of training, in optimizer-update units
+            # (gradient_steps per train_freq*n_envs env steps).
+            total_updates = max(
+                int(total_timesteps
+                    / (config.train_freq * venv.num_envs)
+                    * config.gradient_steps), 1)
+            start = int(total_updates * config.lr_decay_start_fraction)
+            lr = optax.join_schedules(
+                [optax.constant_schedule(config.learning_rate),
+                 optax.linear_schedule(
+                     config.learning_rate,
+                     config.learning_rate * config.lr_final_scale,
+                     max(total_updates - start, 1))],
+                [start])
+        else:
+            lr = config.learning_rate
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(config.max_grad_norm),
-            optax.adam(config.learning_rate),
+            optax.adam(lr),
         )
         # SB3 updates the target every max(interval // n_envs, 1) vec steps.
         self._target_every = max(
@@ -247,7 +318,8 @@ class DQNTrainer:
         env_state, next_obs, reward, term, trunc, info = self.venv.step(
             state.env_state, action)
         done = term | trunc
-        transition = (state.obs, info["final_obs"], action, reward, term)
+        transition = (state.obs, info["final_obs"], action, reward, term,
+                      done)
         stats = state.stats.update(reward, done,
                                    info["exploration_percentage"])
         return dataclasses.replace(
@@ -275,20 +347,30 @@ class DQNTrainer:
         if buffer is None:
             buffer = state.buffer
         key, k_sample = jax.random.split(state.key)
-        batch = buffer.sample(k_sample, cfg.batch_size)
+        if cfg.n_step > 1:
+            batch = buffer.sample_nstep(k_sample, cfg.batch_size,
+                                        cfg.n_step, cfg.gamma)
+            boot_obs = batch["boot_obs"]
+        else:
+            batch = buffer.sample(k_sample, cfg.batch_size)
+            boot_obs = batch["next_obs"]
 
-        q_next = self.model.apply(state.target_params, batch["next_obs"])
+        q_next = self.model.apply(state.target_params, boot_obs)
         if cfg.double_q:
             # Double-DQN (opt-in, DQNConfig.double_q): online net picks the
             # bootstrap action, target net evaluates it.
             a_next = jnp.argmax(
-                self.model.apply(state.params, batch["next_obs"]), axis=-1)
+                self.model.apply(state.params, boot_obs), axis=-1)
             q_boot = jnp.take_along_axis(q_next, a_next[:, None],
                                          axis=-1)[:, 0]
         else:
             q_boot = jnp.max(q_next, axis=-1)
-        target = batch["rewards"] + cfg.gamma * jnp.where(
-            batch["terminated"], 0.0, q_boot)
+        if cfg.n_step > 1:
+            target = batch["reward_n"] + batch["discount"] * jnp.where(
+                batch["boot_mask"], q_boot, 0.0)
+        else:
+            target = batch["rewards"] + cfg.gamma * jnp.where(
+                batch["terminated"], 0.0, q_boot)
 
         def loss_fn(params):
             q = self.model.apply(params, batch["obs"])

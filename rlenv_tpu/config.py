@@ -191,12 +191,23 @@ class DQNConfig:
     exploration_final_eps: float = 0.05
     max_grad_norm: float = 10.0
     hidden_sizes: Tuple[int, ...] = (512, 512, 256)
-    # Opt-in improvement beyond SB3's vanilla DQN (defaults preserve the
-    # reference's exact algorithm): Double-DQN target — the online net
-    # selects the bootstrap action, the target net evaluates it (reduces
-    # the max-operator overestimation bias that destabilizes greedy
-    # exposure on this dense-penalty reward set, RESULTS.md).
+    # Opt-in improvements beyond SB3's vanilla DQN (defaults preserve the
+    # reference's exact algorithm):
+    # double_q — Double-DQN target: the online net selects the bootstrap
+    # action, the target net evaluates it (reduces the max-operator
+    # overestimation bias that destabilizes greedy exposure on this
+    # dense-penalty reward set, RESULTS.md).
     double_q: bool = False
+    # lr_decay_start_fraction < 1 linearly decays the learning rate from
+    # that fraction of total timesteps down to lr * lr_final_scale at the
+    # end — a late-training stabilizer (the reference's lr is constant).
+    lr_decay_start_fraction: float = 1.0
+    lr_final_scale: float = 0.1
+    # n_step > 1 composes n-step returns AT SAMPLE TIME from the
+    # slot-major ring (consecutive slots are consecutive time steps of
+    # the same env lane), stopping at episode boundaries and at the
+    # write head; termination zeroes the bootstrap, truncation keeps it.
+    n_step: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -39,6 +39,16 @@ are regenerated in ONE batched reset at most every R steps. An env that
 finishes again before its fresh spare refills falls back to the full
 reset path under a (rare) inner cond — the trajectory is bit-identical to
 ``reset_pool=0`` either way (`tests/test_vector_curriculum.py`).
+
+Measured outcome (round-4 A/B at the 10M-step 512-env DQN config, same
+seed, bit-identical final metrics across all arms): pool=64 vs pool=0 is
+60.4 s vs 55.3 s on the fused path and 126.2 s vs 126.7 s on the XLA
+path — i.e. NEUTRAL to slightly negative, disproving the round-3
+"reset branch dominates the residual cost" hypothesis (the spare states
+triple the per-step ``lax.cond``'s carried state, which costs about what
+the amortization saves). The knob stays available (``reset_pool=R``) but
+defaults OFF; the actual residual wall-clock turned out to be the
+full-width in-training evals (see ``train.trainer.make_eval_fn``).
 """
 
 from __future__ import annotations

@@ -145,7 +145,7 @@ def train(algo: str = "a2c",
           n_envs: int = 64,
           use_curriculum: bool = False,
           fused: Optional[bool] = None,
-          reset_pool: int = 64,
+          reset_pool: int = 0,
           env_config: Optional[EnvConfig] = None,
           algo_config=None,
           curriculum_config: Optional[CurriculumConfig] = None,
@@ -266,8 +266,17 @@ def train(algo: str = "a2c",
     next_eval = eval_interval or (total_timesteps + 1)
     best_eval_return = -float("inf")
     best_model_path = os.path.join(models_dir, "best_model")
-    eval_fn = (make_eval_fn(trainer, env_config.max_steps)
-               if eval_interval else None)
+    if eval_interval:
+        # Same env composition, but only as wide as the episodes we score
+        # (the XLA path: tiny widths don't fit the fused kernel's lane
+        # blocking, and eval cost at width 16 is negligible either way).
+        eval_venv = (make_venv(env_config, n_eval_episodes, use_curriculum,
+                               curriculum_config, fused=False)
+                     if n_eval_episodes < n_envs else None)
+        eval_fn = make_eval_fn(trainer, env_config.max_steps,
+                               venv=eval_venv)
+    else:
+        eval_fn = None
 
     def _maybe_eval(state, timesteps):
         nonlocal next_eval, best_eval_return
@@ -390,14 +399,20 @@ def train(algo: str = "a2c",
 
 
 def make_eval_fn(trainer, max_steps: int = 1000,
-                 deterministic: bool = True):
+                 deterministic: bool = True, venv=None):
     """Build ONE jitted evaluation program: params + seed -> per-env
     first-episode returns.
 
     Kept separate from :func:`evaluate` so periodic in-training evals
     reuse a single compiled program — re-tracing the 1000-step scan per
-    eval call costs far more than the eval itself on this host."""
-    venv = trainer.venv
+    eval call costs far more than the eval itself on this host.
+
+    ``venv`` overrides the trainer's env: in-training evals pass a venv
+    only ``n_eval_episodes`` wide, because evaluating on the full
+    training width computes (e.g.) 512 episode returns to read 16 — at
+    the 10M-step DQN scale those full-width evals were ~half the total
+    wall-clock."""
+    venv = venv or trainer.venv
     B = venv.num_envs
     is_recurrent = hasattr(trainer, "model") and hasattr(
         trainer.model, "initial_carry")

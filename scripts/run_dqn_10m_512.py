@@ -31,7 +31,7 @@ if __name__ == "__main__":
         # verification path; DQN_FUSED=1 forces Pallas.
         fused=(None if "DQN_FUSED" not in os.environ
                else os.environ["DQN_FUSED"] == "1"),
-        reset_pool=int(os.environ.get("DQN_RESET_POOL", 64)),
+        reset_pool=int(os.environ.get("DQN_RESET_POOL", 0)),
         env_config=env_config,
         curriculum_config=CurriculumConfig.ppo_dqn(),
         log_dir=os.environ.get("DQN_LOG_DIR", "runs/dqn_tpu_10m_512env"),

@@ -116,6 +116,74 @@ def test_replay_buffer_roundtrip_and_wrap():
     assert float(batch["obs"].min()) >= 1.0
 
 
+def test_replay_buffer_nstep_composition():
+    """sample_nstep composes returns along the slot axis, stopping at
+    episode boundaries (done) and the ring's write head; termination
+    zeroes the bootstrap while truncation keeps it."""
+    B, n, gamma = 1, 3, 0.5
+    buf = ReplayBuffer.create(capacity=8, obs_dim=1, batch_width=B)
+    # slots: r=1,2,4,8; done at slot1 (terminated) and slot3 (truncated)
+    rows = [  # (reward, terminated, done)
+        (1.0, False, False),
+        (2.0, True, True),    # episode boundary via termination
+        (4.0, False, False),
+        (8.0, False, True),   # boundary via truncation (term stays False)
+    ]
+    for i, (r, term, done) in enumerate(rows):
+        buf = buf.add_batch(jnp.full((B, 1), float(i)),
+                            jnp.full((B, 1), 100.0 + i),
+                            jnp.zeros(B, jnp.int32),
+                            jnp.full(B, r),
+                            jnp.array([term]), jnp.array([done]))
+
+    def compose(s):
+        """Expected (reward_n, boot_obs, boot_mask, discount) from slot s,
+        replicating the documented semantics by hand."""
+        S = buf.obs.shape[0]
+        newest = (int(buf.slot) - 1) % S
+        total, k = 0.0, 0
+        while True:
+            r, term, done = rows[(s + k) % S]
+            total += (gamma ** k) * r
+            boundary = done or k + 1 >= n or (s + k) % S == newest
+            if boundary:
+                return (total, 100.0 + (s + k) % S, not term,
+                        gamma ** (k + 1))
+            k += 1
+
+    # force deterministic start slots by monkeypatching the sample index:
+    # sample all slots by drawing a big batch and checking each start slot
+    batch = buf.sample_nstep(jax.random.PRNGKey(0), 256, n, gamma)
+    starts = np.asarray(batch["obs"])[:, 0].astype(int)  # obs encodes slot
+    for i in range(256):
+        s = starts[i]
+        exp_rn, exp_boot, exp_mask, exp_disc = compose(s)
+        assert np.isclose(float(batch["reward_n"][i]), exp_rn), (s, i)
+        assert np.isclose(float(batch["boot_obs"][i][0]), exp_boot), (s, i)
+        assert bool(batch["boot_mask"][i]) == exp_mask, (s, i)
+        assert np.isclose(float(batch["discount"][i]), exp_disc), (s, i)
+    # all four start slots were exercised
+    assert set(starts.tolist()) == {0, 1, 2, 3}
+
+
+def test_dqn_nstep_train_iterations(venv):
+    """DQN with n_step=3 trains end-to-end (finite loss, params move)."""
+    from rlenv_tpu.algos.dqn import DQNTrainer
+
+    trainer = DQNTrainer(venv, DQNConfig(hidden_sizes=(32,),
+                                         learning_starts=0, batch_size=8,
+                                         buffer_size=256, n_step=3,
+                                         lr_decay_start_fraction=0.5),
+                         total_timesteps=512)
+    state = jax.jit(trainer.init)(jax.random.PRNGKey(0))
+    p0 = jax.tree.leaves(state.params)[0]
+    state, metrics = jax.jit(
+        lambda s: trainer.train_chunk(s, 4))(state)
+    assert np.isfinite(float(metrics["loss"]))
+    assert not np.allclose(np.asarray(p0),
+                           np.asarray(jax.tree.leaves(state.params)[0]))
+
+
 def test_dqn_epsilon_schedule(venv):
     trainer = DQNTrainer(venv, DQNConfig(hidden_sizes=(16,),
                                          buffer_size=100),
