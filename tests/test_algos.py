@@ -421,6 +421,7 @@ def test_mcts_ucb_selection():
     assert int(child) == 3 and int(action) == 0
 
 
+@pytest.mark.slow
 def test_ppo_program_split_equivalence(tmp_path):
     """program_split drives rollout/targets/epochs as separate device
     programs; results must be bit-identical to the monolithic program."""

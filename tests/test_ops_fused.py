@@ -112,12 +112,12 @@ def test_train_a2c_fused(tmp_path, use_curriculum):
     with and without the curriculum wrapper."""
     from rlenv_tpu.train.trainer import train
 
-    _, result = train(algo="a2c", total_timesteps=160, n_envs=16,
+    _, result = train(algo="a2c", total_timesteps=80, n_envs=8,
                       use_curriculum=use_curriculum, fused=True,
                       env_config=EnvConfig.training(max_steps=40),
                       log_dir=str(tmp_path), iterations_per_chunk=2,
                       plot=False, verbose=False)
-    assert result.timesteps >= 160
+    assert result.timesteps >= 80
 
 
 def _curriculum_parity(horizon):
@@ -241,6 +241,7 @@ def test_fused_rollout_freeze_and_chunk_reset(envs):
     assert np.isfinite(np.asarray(next_obs)).all()
 
 
+@pytest.mark.slow
 def test_fused_rollout_under_shard_map():
     """The chunked rollout kernel composes with shard_map over the 'data'
     mesh axis: per-device chunks produce the same trajectory as the

@@ -124,15 +124,16 @@ def test_curriculum_visit_persistence_from_second_episode():
     assert v_after_ep2_reset.sum() > 1
 
 
-@pytest.mark.parametrize("pool", [8, 32])
-def test_reset_pool_bit_exact(pool):
+@pytest.mark.parametrize("pool,variant", [(32, "ppo_dqn"), (8, "a2c")])
+def test_reset_pool_bit_exact(pool, variant):
     """reset_pool amortization is bit-identical to the plain path across
     many auto-resets. pool=8 < episode length exercises the normal
     refill cadence; pool=32 > the 13-step episodes forces consumption of
-    stale spares, exercising the full-reset fallback cond."""
+    stale spares, exercising the full-reset fallback cond; the a2c
+    variant adds terminate-on-threshold (earlier, raggeder dones)."""
     env = PlantOS(EnvConfig(grid_size=8, num_plants=3, num_obstacles=3,
                             lidar_range=2, lidar_channels=4, max_steps=13))
-    ccfg = CurriculumConfig.ppo_dqn()
+    ccfg = getattr(CurriculumConfig, variant)()
     v0 = CurriculumVecPlantOS(env, 8, ccfg)
     v1 = CurriculumVecPlantOS(env, 8, ccfg, reset_pool=pool)
     key = jax.random.PRNGKey(0)
