@@ -54,7 +54,8 @@ class RecurrentPPOState:
 class RecurrentPPOTrainer:
     """On-device Recurrent PPO over a vectorized env."""
 
-    def __init__(self, venv, config: RecurrentPPOConfig = RecurrentPPOConfig()):
+    def __init__(self, venv, config: RecurrentPPOConfig = RecurrentPPOConfig(),
+                 total_timesteps: int = 0):
         self.venv = venv
         self.config = config
         L = config.bptt_chunk or config.n_steps
@@ -69,9 +70,21 @@ class RecurrentPPOTrainer:
             enable_critic_lstm=config.enable_critic_lstm,
             dtype=(jnp.bfloat16 if config.compute_dtype == "bfloat16"
                    else jnp.float32))
+        if config.lr_final_scale < 1.0 and total_timesteps:
+            updates_per_iter = config.n_epochs * max(
+                (config.n_steps * venv.num_envs) // config.batch_size, 1)
+            total_updates = max(
+                total_timesteps // (config.n_steps * venv.num_envs), 1
+            ) * updates_per_iter
+            lr = optax.linear_schedule(
+                config.learning_rate,
+                config.learning_rate * config.lr_final_scale,
+                total_updates)
+        else:
+            lr = config.learning_rate
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(config.max_grad_norm),
-            optax.adam(config.learning_rate),
+            optax.adam(lr),
         )
 
     def init(self, key: jax.Array) -> RecurrentPPOState:

@@ -243,6 +243,11 @@ class RecurrentPPOConfig:
     # Compute dtype for the policy network ("float32" | "bfloat16").
     # Params/optimizer stay float32; see RecurrentActorCritic.dtype.
     compute_dtype: str = "float32"
+    # lr_final_scale < 1 linearly anneals the learning rate from
+    # learning_rate down to learning_rate * lr_final_scale across the
+    # whole run (SB3's linear_schedule pattern; the reference uses a
+    # constant) — a counter-lever for the late-run policy decay.
+    lr_final_scale: float = 1.0
     # Rematerialize the BPTT step during the update's backward pass.
     # Required for whole-rollout BPTT (n_steps=1024 of the 2562-wide LSTM
     # would save ~GBs of gate activations); optional for short chunks,

@@ -92,7 +92,8 @@ def make_trainer(algo: str, venv, algo_config=None,
         return DQNTrainer(venv, algo_config or DQNConfig(),
                           total_timesteps=total_timesteps)
     if algo in ("ppo", "recurrent_ppo"):
-        return RecurrentPPOTrainer(venv, algo_config or RecurrentPPOConfig())
+        return RecurrentPPOTrainer(venv, algo_config or RecurrentPPOConfig(),
+                                   total_timesteps=total_timesteps)
     raise ValueError(f"unknown algo {algo!r}")
 
 

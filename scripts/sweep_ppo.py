@@ -71,6 +71,15 @@ CONFIGS = {
     "n256_b4096_seed1": (RewardConfig.recurrent_ppo,
                          CurriculumConfig.ppo_dqn,
                          _ppo(n_steps=256, batch_size=4096), {"seed": 1}),
+    # late-decay counter-lever: linear lr anneal to 10%
+    "n256_b4096_lrdecay": (RewardConfig.recurrent_ppo,
+                           CurriculumConfig.ppo_dqn,
+                           _ppo(n_steps=256, batch_size=4096,
+                                lr_final_scale=0.1)),
+    "n256_b4096_a2ccur_lrdecay": (RewardConfig.recurrent_ppo,
+                                  CurriculumConfig.a2c,
+                                  _ppo(n_steps=256, batch_size=4096,
+                                       lr_final_scale=0.1)),
     # step-budget ceiling probes (the A2C sweep's decisive axis)
     "n256_b4096_9m": (RewardConfig.recurrent_ppo, CurriculumConfig.ppo_dqn,
                       _ppo(n_steps=256, batch_size=4096),
