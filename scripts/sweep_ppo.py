@@ -71,6 +71,10 @@ CONFIGS = {
     "n256_b4096_seed1": (RewardConfig.recurrent_ppo,
                          CurriculumConfig.ppo_dqn,
                          _ppo(n_steps=256, batch_size=4096), {"seed": 1}),
+    # geometry: 64-step chunks, 128-sequence minibatches (full MXU tile,
+    # ~4x the update throughput of n256_b4096) at the same total data
+    "n256_c64_b8192": (RewardConfig.recurrent_ppo, CurriculumConfig.ppo_dqn,
+                       _ppo(n_steps=256, bptt_chunk=64, batch_size=8192)),
     # late-decay counter-lever: linear lr anneal to 10%
     "n256_b4096_lrdecay": (RewardConfig.recurrent_ppo,
                            CurriculumConfig.ppo_dqn,
