@@ -75,6 +75,13 @@ CONFIGS = {
     # ~4x the update throughput of n256_b4096) at the same total data
     "n256_c64_b8192": (RewardConfig.recurrent_ppo, CurriculumConfig.ppo_dqn,
                        _ppo(n_steps=256, bptt_chunk=64, batch_size=8192)),
+    "n256_c64_b8192_a2ccur": (RewardConfig.recurrent_ppo,
+                              CurriculumConfig.a2c,
+                              _ppo(n_steps=256, bptt_chunk=64,
+                                   batch_size=8192)),
+    "n1024_b16384_a2ccur_bis": (RewardConfig.recurrent_ppo,
+                                CurriculumConfig.a2c,
+                                _ppo(n_steps=1024, batch_size=16384)),
     # late-decay counter-lever: linear lr anneal to 10%
     "n256_b4096_lrdecay": (RewardConfig.recurrent_ppo,
                            CurriculumConfig.ppo_dqn,
