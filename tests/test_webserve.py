@@ -49,6 +49,22 @@ def test_page_serves_reference_controls(server):
         assert needle in page, f"missing control: {needle}"
 
 
+def test_model_path_html_escaped(server):
+    """A CLI-provided default model path is HTML-escaped into the page
+    (advisor finding: raw substitution let a crafted path inject
+    markup)."""
+    from rlenv_tpu.apps.webserve import Handler
+
+    old = Handler.default_model_path
+    try:
+        Handler.default_model_path = 'x"><script>alert(1)</script>'
+        page = _get(server + "/").decode()
+        assert "<script>alert(1)</script>" not in page
+        assert "&lt;script&gt;" in page
+    finally:
+        Handler.default_model_path = old
+
+
 def test_state_endpoint_idle(server):
     s = json.loads(_get(server + "/state"))
     assert set(s) == {"frame", "reward", "exploration", "thirsty",
