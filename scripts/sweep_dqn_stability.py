@@ -53,6 +53,25 @@ CONFIGS = {
                           "lr_decay_start_fraction": 0.7},
     "n3_lrdecay_eps01": {"n_step": 3, "lr_decay_start_fraction": 0.7,
                          "exploration_final_eps": 0.01},
+    # -- stage 2: combinations of the winning single levers (anneal09
+    # 85.0 / eps01 84.3 / double_lrdecay 83.6 / target20k 81.4 final-
+    # quarter exploration vs base 78.8)
+    "anneal09_eps01": {"exploration_fraction": 0.9,
+                       "exploration_final_eps": 0.01},
+    "anneal09_eps01_double": {"exploration_fraction": 0.9,
+                              "exploration_final_eps": 0.01,
+                              "double_q": True},
+    "anneal09_eps01_t20k": {"exploration_fraction": 0.9,
+                            "exploration_final_eps": 0.01,
+                            "target_update_interval": 20_000},
+    "anneal09_eps01_double_t20k": {"exploration_fraction": 0.9,
+                                   "exploration_final_eps": 0.01,
+                                   "double_q": True,
+                                   "target_update_interval": 20_000},
+    # -- stage 3: the ~87% combo plateau — more anneal / more budget
+    "anneal10_eps01_double": {"exploration_fraction": 1.0,
+                              "exploration_final_eps": 0.01,
+                              "double_q": True},
 }
 
 
