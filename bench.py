@@ -23,7 +23,11 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.2")
 
 BASELINE_STEPS_PER_SEC = 11_400.0   # BASELINE.md, derived from monitor CSVs
 NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 4096))
-CHUNK = int(os.environ.get("BENCH_CHUNK", 250))   # env steps per device call
+# Whole-episode chunks amortize the per-program pack/launch cost best:
+# measured 219.9M steps/s at CHUNK=250, 239.8M at 500, 251.7M at 1000
+# (round 4, one v5e chip). 1000 divides max_steps, so chunked == per-step
+# bit-exactly.
+CHUNK = int(os.environ.get("BENCH_CHUNK", 1000))  # env steps per device call
 CHUNKS_TIMED = int(os.environ.get("BENCH_CHUNKS", 32))  # timed device calls
 WARMUP_CHUNKS = 2
 
