@@ -8,6 +8,14 @@ in <=881 s across `train_improved1/gym/env_*.monitor.csv`).
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "env_steps_per_sec", "vs_baseline": N}
+
+Multi-chip mode: ``python bench.py --mesh N`` (or ``BENCH_MESH=N``) shards
+the env batch over a ('data',) mesh of N devices — each device runs the
+same chunked Pallas rollout on its local shard via
+``rlenv_tpu.env.fused_vector.build_sharded_rollout`` (the trainers' dp
+sharding; bit-identical per-env trajectories, verified on the virtual
+8-CPU mesh by ``tests/test_ops_fused.py::test_sharded_bench_rollout_parity``).
+On real N-chip hardware this produces the scaling table with no new code.
 """
 
 from __future__ import annotations
@@ -32,12 +40,64 @@ CHUNKS_TIMED = int(os.environ.get("BENCH_CHUNKS", 32))  # timed device calls
 WARMUP_CHUNKS = 2
 
 
+def _mesh_size() -> int:
+    if "--mesh" in __import__("sys").argv:
+        i = __import__("sys").argv.index("--mesh")
+        return int(__import__("sys").argv[i + 1])
+    return int(os.environ.get("BENCH_MESH", 0))
+
+
+def mesh_main(n_mesh: int) -> None:
+    """Multi-chip headline: env batch dp-sharded over a ('data',) mesh."""
+    import jax
+
+    from rlenv_tpu import EnvConfig, PlantOS
+    from rlenv_tpu.env.fused_vector import build_sharded_rollout
+    from rlenv_tpu.parallel.mesh import make_mesh
+
+    assert CHUNK > 0
+    env = PlantOS(EnvConfig.training())
+    mesh = make_mesh(n_mesh, model_parallel=1)
+    reset_fn, rollout_fn = build_sharded_rollout(
+        env, NUM_ENVS, mesh, CHUNK,
+        block_envs=int(os.environ.get("BENCH_BLOCK", 1024)))
+
+    @jax.jit
+    def rollout_chunk(states, key):
+        key, k_act = jax.random.split(key)
+        actions = jax.random.randint(k_act, (CHUNK, NUM_ENVS), 0, 5)
+        states, _, traj = rollout_fn(states, actions)
+        return states, key, traj["rewards"].sum()
+
+    key = jax.random.PRNGKey(0)
+    states, _ = jax.jit(reset_fn)(key)
+    for _ in range(WARMUP_CHUNKS):
+        states, key, acc = rollout_chunk(states, key)
+    float(acc)
+    t0 = time.perf_counter()
+    for _ in range(CHUNKS_TIMED):
+        states, key, acc = rollout_chunk(states, key)
+    float(acc)
+    elapsed = time.perf_counter() - t0
+    steps_per_sec = NUM_ENVS * CHUNK * CHUNKS_TIMED / elapsed
+    print(json.dumps({
+        "metric": f"env_steps_per_sec_{NUM_ENVS}envs_{n_mesh}chips",
+        "value": round(steps_per_sec, 1),
+        "unit": "env_steps/s",
+        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
+    }))
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
     from rlenv_tpu import EnvConfig, PlantOS
     from rlenv_tpu.env.vector import VecPlantOS
+
+    n_mesh = _mesh_size()
+    if n_mesh:
+        return mesh_main(n_mesh)
 
     env = PlantOS(EnvConfig.training())
     fused = os.environ.get("BENCH_FUSED", "1") == "1"

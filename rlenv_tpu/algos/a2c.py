@@ -12,8 +12,22 @@ Hyperparameters mirror `A2C_training.py:229-247`: lr 7e-4, n_steps 5,
 gamma .99, gae_lambda 1.0, ent_coef .01, vf_coef .25, max_grad_norm .5,
 RMSProp(alpha .99, eps 1e-5), advantage normalization, net_arch [256,256].
 
-Timeout handling follows SB3: on truncation (not termination) the reward is
-bootstrapped with the value of the terminal observation.
+Timeout handling follows SB3: on truncation (not termination) the reward
+used for GAE is bootstrapped with ``gamma * V(terminal_obs)``
+(`/root/reference/trainingCode.py:140-162` inherits SB3
+``OnPolicyAlgorithm.collect_rollouts``). Two deliberate refinements over a
+literal port:
+
+* Episode statistics see the RAW env reward. SB3's ``Monitor`` wraps the
+  env BELOW the algorithm (`trainingCode.py:109`), so its CSVs record what
+  the env paid, not the bootstrapped training target — matching that keeps
+  our Monitor CSVs / ``TrainResult.mean_return`` comparable to the
+  reference's artifacts.
+* The ``V(terminal_obs)`` forwards are NOT run inside the collect scan.
+  Params are frozen during a rollout, so the per-step terminal-value MLP
+  passes (a serial latency chain in the scan) are deferred: ``final_obs``
+  rides in the trajectory and ONE batched ``[n_steps*B]`` value forward at
+  update time produces the same numbers.
 """
 
 from __future__ import annotations
@@ -90,26 +104,43 @@ class A2CTrainer:
             state.env_state, action)
         done = term | trunc
 
-        # SB3 timeout bootstrapping: truncated-but-alive episodes get
-        # gamma * V(terminal_obs) folded into the reward.
+        # SB3 timeout bootstrapping is DEFERRED: record final_obs + the
+        # timeout mask; _update folds gamma * V(final_obs) into the GAE
+        # rewards with one batched forward (params are frozen across the
+        # rollout, so the numbers match the inline version).
         timeout = trunc & ~term
-        _, final_value = self.model.apply(state.params, info["final_obs"])
-        reward = reward + self.config.gamma * final_value * timeout
 
         logp, _ = categorical_stats(logits, action)
+        # Stats get the RAW env reward (SB3 Monitor semantics — the
+        # monitor wraps the env below the algorithm, trainingCode.py:109).
         stats = state.stats.update(reward, done,
                                    info["exploration_percentage"])
         transition = dict(obs=state.obs, action=action, reward=reward,
+                          timeout=timeout, final_obs=info["final_obs"],
                           done=done, value=value, logp=logp)
         new_state = dataclasses.replace(
             state, env_state=env_state, obs=next_obs, key=key, stats=stats)
         return new_state, transition
 
+    def _bootstrap_rewards(self, params, batch: Dict[str, jnp.ndarray]
+                           ) -> jnp.ndarray:
+        """GAE-input rewards: raw env rewards plus the deferred SB3 timeout
+        bootstrap — one batched value forward over every step's terminal
+        observation (instead of n_steps serial forwards inside the collect
+        scan), masked to truncated-not-terminated steps."""
+        cfg = self.config
+        T, B = batch["reward"].shape
+        _, final_values = self.model.apply(
+            params, batch["final_obs"].reshape(T * B, -1))
+        return batch["reward"] + (cfg.gamma * final_values.reshape(T, B)
+                                  * batch["timeout"])
+
     def _update(self, state: A2CState, batch: Dict[str, jnp.ndarray]
                 ) -> Tuple[A2CState, Dict[str, jnp.ndarray]]:
         cfg = self.config
         _, last_value = self.model.apply(state.params, state.obs)
-        advantages, returns = gae(batch["reward"], batch["value"],
+        rewards = self._bootstrap_rewards(state.params, batch)
+        advantages, returns = gae(rewards, batch["value"],
                                   batch["done"], last_value,
                                   cfg.gamma, cfg.gae_lambda)
         adv = advantages.reshape(-1)

@@ -102,6 +102,16 @@ class ReplayBuffer:
 
     def add_batch(self, obs, next_obs, actions, rewards, terminated,
                   done=None) -> "ReplayBuffer":
+        """Append one batch row per env.
+
+        ``done`` (terminated OR truncated) marks episode boundaries for
+        n-step composition; ``terminated`` alone controls bootstrap
+        zeroing. ``done=None`` defaults to ``terminated`` — ONLY valid
+        when the buffer is sampled with ``sample``/``n_step == 1``:
+        omitting truncations makes :meth:`sample_nstep` silently compose
+        returns across auto-reset episode boundaries. Callers with
+        truncating envs (i.e. all PlantOS trainers) must pass ``done``
+        explicitly, as :class:`DQNTrainer` does."""
         assert obs.shape[0] == self.batch_width, \
             f"batch width {obs.shape[0]} != buffer width {self.batch_width}"
         S = self.obs.shape[0]
@@ -135,7 +145,10 @@ class ReplayBuffer:
         Must not be interleaved with :meth:`add_batch` (which advances the
         slot by 1, breaking K-alignment): ``dynamic_update_slice_in_dim``
         CLAMPS out-of-range starts, so a misaligned ``slot + K > S`` write
-        would silently overwrite the tail rows instead of wrapping."""
+        would silently overwrite the tail rows instead of wrapping.
+
+        ``done=None`` defaults to ``terminated`` — only valid for
+        ``n_step == 1`` sampling; see :meth:`add_batch`."""
         K = obs.shape[0]
         S = self.obs.shape[0]
         if S % K:                     # K, S are static at trace time

@@ -22,6 +22,20 @@ minibatch layout [L, M, ...] whose M-row matmuls fill the MXU tiles.
 minibatch = batch_size // chunk_len, rounded down to a divisor of the
 sequence-pool size. Like SB3, the recorded carries are one-policy-stale
 from the second epoch on; gradients do not flow across chunk boundaries.
+
+Timeout bootstrapping follows sb3_contrib's ``collect_rollouts`` (the SB3
+``OnPolicyAlgorithm`` semantic the reference trainer inherits,
+`/root/reference/trainingCode.py:140-162`): when an episode TRUNCATES
+(time limit, not full exploration), ``gamma * V(terminal_obs)`` is added
+to that step's reward before GAE, with V evaluated under the post-step
+LSTM state and ``episode_start=False`` — exactly sb3_contrib's
+``predict_values(terminal_obs, terminal_lstm_state, episode_starts=False)``.
+TPU-first twist: instead of running an extra LSTM forward every collect
+step (a serial latency chain), the rollout RECORDS (terminal_obs, LSTM
+carry, step index) into a handful of per-env slots — truncation can fire
+at most ``ceil(n_steps / max_episode_steps) + 1`` times per env per
+rollout — and ONE batched value forward at target time reproduces the
+numbers bit-for-bit (params are frozen across a rollout).
 """
 
 from __future__ import annotations
@@ -63,6 +77,19 @@ class RecurrentPPOTrainer:
             raise ValueError(
                 f"bptt_chunk={config.bptt_chunk} must divide "
                 f"n_steps={config.n_steps}")
+        if config.lr_final_scale < 1.0 and not total_timesteps:
+            raise ValueError(
+                "lr_final_scale < 1 needs total_timesteps > 0 to derive "
+                "the anneal schedule (pass total_timesteps to the trainer, "
+                "as train() does) — otherwise the lr would silently stay "
+                "constant.")
+        # Timeout-bootstrap slots per env per rollout: truncation only
+        # fires on the env time limit, so it can occur at most this many
+        # times within one n_steps window (plus one for an episode already
+        # in flight at the window start).
+        max_ep = getattr(getattr(venv, "env", None), "config", None)
+        max_ep = getattr(max_ep, "max_steps", 1000)
+        self._n_boot_slots = config.n_steps // max(max_ep, 1) + 1
         self.model = RecurrentActorCritic(
             num_actions=venv.num_actions,
             lstm_hidden_size=config.lstm_hidden_size,
@@ -119,13 +146,34 @@ class RecurrentPPOTrainer:
 
     # -- rollout ------------------------------------------------------------
 
-    def _rollout_step(self, state: RecurrentPPOState, _):
+    def _rollout_step(self, carry_boot, t):
+        state, boot = carry_boot
         key, k_act = jax.random.split(state.key)
         action, logits, value, carry = self.policy(
             state.params, state.obs, state.carry, state.episode_start, k_act)
         env_state, next_obs, reward, term, trunc, info = self.venv.step(
             state.env_state, action)
         done = term | trunc
+
+        # SB3 timeout bootstrapping, deferred (module docstring): record
+        # (terminal_obs, post-step LSTM carry, step index) per truncation;
+        # compute_targets runs one batched value forward over the slots.
+        timeout = trunc & ~term
+        S = boot["t"].shape[0]
+        env_ids = jnp.arange(done.shape[0], dtype=jnp.int32)
+        # Non-timeout envs (and slot overflow, impossible by construction)
+        # write to row S -> dropped by XLA scatter 'drop' mode.
+        slot = jnp.where(timeout & (boot["count"] < S), boot["count"], S)
+        boot = dict(
+            obs=boot["obs"].at[slot, env_ids].set(info["final_obs"],
+                                                  mode="drop"),
+            t=boot["t"].at[slot, env_ids].set(t, mode="drop"),
+            count=boot["count"] + timeout,
+            carry=jax.tree.map(
+                lambda bc, c: bc.at[slot, env_ids].set(c, mode="drop"),
+                boot["carry"], carry),
+        )
+
         logp, _ = categorical_stats(logits, action)
         stats = state.stats.update(reward, done,
                                    info["exploration_percentage"])
@@ -135,9 +183,19 @@ class RecurrentPPOTrainer:
         new_state = dataclasses.replace(
             state, env_state=env_state, obs=next_obs, carry=carry,
             episode_start=done, key=key, stats=stats)
-        return new_state, transition
+        return (new_state, boot), transition
 
     # -- update -------------------------------------------------------------
+
+    def _cast_params(self, params):
+        """bf16 copy of the f32 params, made ONCE so the BPTT scan reads
+        half the weight bytes per step (``config.cast_params_once``)."""
+        if (self.config.compute_dtype != "bfloat16"
+                or not self.config.cast_params_once):
+            return params
+        return jax.tree.map(
+            lambda p: p.astype(jnp.bfloat16)
+            if p.dtype == jnp.float32 else p, params)
 
     def _sequence_forward(self, params, obs_seq, episode_start_seq,
                           init_carry):
@@ -150,7 +208,13 @@ class RecurrentPPOTrainer:
         the carries. For short BPTT chunks the activations fit easily and
         the second forward (plus its ~110 MB/step weight re-read) is pure
         overhead — set ``remat=False`` there.
+
+        ``config.cast_params_once`` casts the weights to bf16 HERE, before
+        the scan, halving the dominant per-step HBM read (see the config
+        docstring for the measured effect and the accumulation trade-off).
         """
+        params = self._cast_params(params)
+
         def step(carry, inp):
             obs, ep_start = inp
             logits, value, carry = self.model.apply(params, obs, carry,
@@ -163,15 +227,42 @@ class RecurrentPPOTrainer:
             step, init_carry, (obs_seq, episode_start_seq))
         return logits, values
 
+    def _bootstrap_rewards(self, params, rewards: jnp.ndarray,
+                           boot: Dict[str, Any]) -> jnp.ndarray:
+        """Fold ``gamma * V(terminal_obs)`` into the rewards at every
+        recorded truncation (SB3 timeout bootstrap, module docstring).
+
+        One batched forward over the [S*B] recorded slots under their
+        recorded LSTM carries with ``episode_start=False`` — numerically
+        the value sb3_contrib's ``predict_values`` would have produced at
+        collect time, since params are frozen across a rollout."""
+        S, B = boot["t"].shape
+        obs = boot["obs"].reshape(S * B, -1)
+        carry = jax.tree.map(
+            lambda c: c.reshape((S * B,) + c.shape[2:]), boot["carry"])
+        _, values, _ = self.model.apply(params, obs, carry,
+                                        jnp.zeros(S * B, bool))
+        values = values.reshape(S, B)
+        valid = (jnp.arange(S, dtype=jnp.int32)[:, None]
+                 < boot["count"][None, :])
+        T = rewards.shape[0]
+        t_idx = jnp.where(valid, boot["t"], T)   # invalid -> OOB -> drop
+        env_ids = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.int32)[None, :], (S, B))
+        return rewards.at[t_idx, env_ids].add(
+            self.config.gamma * values, mode="drop")
+
     def compute_targets(self, state: RecurrentPPOState,
-                        traj: Dict[str, jnp.ndarray]
+                        traj: Dict[str, jnp.ndarray], boot: Dict[str, Any]
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """GAE advantages/returns from the ROLLOUT-time values (must be
-        computed once, before any epoch mutates the params)."""
+        computed once, before any epoch mutates the params), with the SB3
+        timeout bootstrap applied to the rewards."""
         cfg = self.config
         _, last_value, _ = self.model.apply(
             state.params, state.obs, state.carry, state.episode_start)
-        return gae(traj["reward"], traj["value"], traj["done"], last_value,
+        rewards = self._bootstrap_rewards(state.params, traj["reward"], boot)
+        return gae(rewards, traj["value"], traj["done"], last_value,
                    cfg.gamma, cfg.gae_lambda)
 
     def update_epochs(self, state: RecurrentPPOState,
@@ -265,39 +356,52 @@ class RecurrentPPOTrainer:
                                    opt_state=opt_state, key=key), metrics
 
     def _update(self, state: RecurrentPPOState, traj: Dict[str, jnp.ndarray],
-                init_carries) -> Tuple[RecurrentPPOState, Dict]:
-        advantages, returns = self.compute_targets(state, traj)
+                init_carries, boot) -> Tuple[RecurrentPPOState, Dict]:
+        advantages, returns = self.compute_targets(state, traj, boot)
         return self.update_epochs(state, traj, init_carries, advantages,
                                   returns, self.config.n_epochs)
 
     def rollout(self, state: RecurrentPPOState):
         """Collect one n_steps rollout.
 
-        Returns ``(state, traj, init_carries)``: traj leaves are
+        Returns ``(state, traj, init_carries, boot)``: traj leaves are
         ``[n_steps, B, ...]`` (time-major, contiguous across chunk
-        boundaries — GAE runs over the full horizon), and init_carries are
+        boundaries — GAE runs over the full horizon), init_carries are
         the LSTM carries snapshotted at each BPTT-chunk start, stacked as
-        leaves ``[n_chunks, B, H]`` (n_chunks = 1 without chunking).
+        leaves ``[n_chunks, B, H]`` (n_chunks = 1 without chunking), and
+        ``boot`` holds the recorded timeout-bootstrap slots for
+        :meth:`compute_targets`.
         """
         cfg = self.config
         L = cfg.bptt_chunk or cfg.n_steps
         n_chunks = cfg.n_steps // L
+        B = state.obs.shape[0]
+        S = self._n_boot_slots
+        boot = dict(
+            obs=jnp.zeros((S, B, state.obs.shape[-1]), state.obs.dtype),
+            t=jnp.zeros((S, B), jnp.int32),
+            count=jnp.zeros((B,), jnp.int32),
+            carry=jax.tree.map(
+                lambda c: jnp.zeros((S,) + c.shape, c.dtype), state.carry),
+        )
 
-        def chunk_body(s, _):
+        def chunk_body(sb, ts):
+            s, boot = sb
             c0 = s.carry
-            s, traj = jax.lax.scan(self._rollout_step, s, None, length=L)
-            return s, (traj, c0)
+            (s, boot), traj = jax.lax.scan(self._rollout_step, (s, boot), ts)
+            return (s, boot), (traj, c0)
 
-        state, (traj, carries) = jax.lax.scan(chunk_body, state, None,
-                                              length=n_chunks)
+        ts = jnp.arange(cfg.n_steps, dtype=jnp.int32).reshape(n_chunks, L)
+        (state, boot), (traj, carries) = jax.lax.scan(
+            chunk_body, (state, boot), ts)
         traj = jax.tree.map(
             lambda x: x.reshape((cfg.n_steps,) + x.shape[2:]), traj)
-        return state, traj, carries
+        return state, traj, carries, boot
 
     def train_iteration(self, state: RecurrentPPOState
                         ) -> Tuple[RecurrentPPOState, Dict]:
-        state, traj, init_carry = self.rollout(state)
-        return self._update(state, traj, init_carry)
+        state, traj, init_carry, boot = self.rollout(state)
+        return self._update(state, traj, init_carry, boot)
 
     def train_chunk(self, state: RecurrentPPOState, num_iterations: int
                     ) -> Tuple[RecurrentPPOState, Dict]:

@@ -239,17 +239,19 @@ class Handler(BaseHTTPRequestHandler):
 
 
 def serve(host: str = "127.0.0.1", port: int = 7860,
-          model_path: str = "", block: bool = True
-          ) -> ThreadingHTTPServer:
+          model_path: str = "", block: bool = True,
+          allow_remote: bool = False) -> ThreadingHTTPServer:
     Handler.default_model_path = model_path
-    httpd = ThreadingHTTPServer((host, port), Handler)
-    if host not in ("127.0.0.1", "localhost", "::1"):
+    if host not in ("127.0.0.1", "localhost", "::1") and not allow_remote:
         # /start loads model files from client-supplied filesystem paths —
         # fine on the loopback default, a remote-driven file probe on an
         # open bind (same trust model as `gradioUI.py`'s share link).
-        print(f"WARNING: binding to {host!r} exposes model loading from "
-              f"arbitrary local paths to any network client; keep the "
-              f"default loopback bind unless the network is trusted.")
+        # Refuse unless the caller explicitly opted in.
+        raise ValueError(
+            f"binding to {host!r} exposes model loading from arbitrary "
+            f"local paths to any network client; pass --allow-remote "
+            f"(allow_remote=True) to opt in on a trusted network.")
+    httpd = ThreadingHTTPServer((host, port), Handler)
     print(f"PlantOS web UI on http://{host}:{httpd.server_address[1]}/")
     if block:
         try:
@@ -269,8 +271,12 @@ def main() -> None:
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--model-path", type=str, default="",
                    help="Prefill for the model-path textbox")
+    p.add_argument("--allow-remote", action="store_true",
+                   help="Permit a non-loopback --host (model loading from "
+                        "client-supplied paths becomes network-reachable)")
     args = p.parse_args()
-    serve(args.host, args.port, model_path=args.model_path)
+    serve(args.host, args.port, model_path=args.model_path,
+          allow_remote=args.allow_remote)
 
 
 if __name__ == "__main__":

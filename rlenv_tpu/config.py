@@ -254,6 +254,16 @@ class RecurrentPPOConfig:
     # where saving activations (~8 MB per step at M=128 sequences) is
     # cheaper than a second forward pass.
     remat: bool = True
+    # With compute_dtype="bfloat16", cast the f32 params to bf16 ONCE per
+    # minibatch, outside the BPTT scan. Flax otherwise re-casts the
+    # captured f32 params inside every scan step, and XLA does not hoist
+    # the ~220 MB conversion out of the loop — so each of the thousands of
+    # serial BPTT steps re-reads the full f32 weights from HBM (measured:
+    # 11.9 s -> 5.6 s per update at the flagship config, RESULTS.md round
+    # 5). Trade-off: the scan's weight-gradient accumulation then also
+    # runs in bf16 (f32 otherwise); flagship A/B quality evidence in
+    # RESULTS.md. False restores f32 in-scan weights + f32 accumulation.
+    cast_params_once: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -150,6 +150,65 @@ class FusedVecPlantOS:
         return flat, next_obs, traj
 
 
+def build_sharded_rollout(env: PlantOS, num_envs: int, mesh, horizon: int,
+                          block_envs: int = 256,
+                          interpret: bool | None = None):
+    """Multi-chip whole-chunk env rollout: the batch dp-sharded over the
+    mesh's ``data`` axis.
+
+    Each device runs the SAME chunked Pallas rollout program the
+    single-chip path runs (:meth:`FusedVecPlantOS.rollout`, auto-reset
+    included) on its local env shard — envs are independent, so this is
+    pure data parallelism with zero collectives inside the step, the same
+    'data'-axis sharding the trainers use (``tests/test_parallel.py``).
+    Per-env trajectories are bit-identical to single-device execution
+    (``tests/test_ops_fused.py::test_sharded_bench_rollout_parity``), so
+    N-chip hardware runs the scaling table with no new code: this builder
+    IS ``bench.py --mesh N``'s code path.
+
+    Returns jittable ``(reset_fn, rollout_fn)``:
+      * ``reset_fn(key) -> (flat_states, obs)`` — sharded batch reset
+        (same per-env keys as the single-device path).
+      * ``rollout_fn(flat_states, actions[K, num_envs]) ->
+        (flat_states', next_obs, traj)`` — one device program per shard.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n_data = mesh.shape["data"]
+    if num_envs % n_data:
+        raise ValueError(f"num_envs={num_envs} not divisible by the "
+                         f"data-axis size {n_data}")
+    local = num_envs // n_data
+    lenv = FusedVecPlantOS(env, local, block_envs=min(block_envs, local),
+                           interpret=interpret)
+
+    def local_reset(keys):
+        states, obs, _ = lenv._v_reset(keys)
+        return pack_state(states, lenv._g), obs
+
+    def local_rollout(flat, actions):
+        return lenv.rollout(flat, actions)
+
+    flat_shape, _ = jax.eval_shape(
+        local_reset, jax.random.split(jax.random.PRNGKey(0), local))
+    dp_state = jax.tree.map(lambda _: P("data"), flat_shape)
+    traj_spec = {"obs": P(None, "data"), "rewards": P(None, "data"),
+                 "terminated": P(None, "data"), "truncated": P(None, "data"),
+                 "is_watering": P(None, "data"), "done_mask": P("data")}
+    reset_sharded = jax.shard_map(
+        local_reset, mesh=mesh, in_specs=P("data"),
+        out_specs=(dp_state, P("data")), check_vma=False)
+    rollout_fn = jax.shard_map(
+        local_rollout, mesh=mesh,
+        in_specs=(dp_state, P(None, "data")),
+        out_specs=(dp_state, P("data"), traj_spec), check_vma=False)
+
+    def reset_fn(key):
+        return reset_sharded(jax.random.split(key, num_envs))
+
+    return reset_fn, rollout_fn
+
+
 class FusedCurriculumVecPlantOS(CurriculumVecPlantOS):
     """Curriculum wrapper whose inner env steps via the fused Pallas kernel.
 

@@ -291,8 +291,15 @@ class SoftwareStage:
             return False
         local = scr - np.array([x0, y0], float)
         tw, th = tex.size
-        coeffs = _homography_coeffs(
-            local, np.array([[0, 0], [tw, 0], [tw, th], [0, th]], float))
+        try:
+            coeffs = _homography_coeffs(
+                local, np.array([[0, 0], [tw, 0], [tw, th], [0, th]],
+                                float))
+        except np.linalg.LinAlgError:
+            # (Near-)collinear projected corners — e.g. a face grazing the
+            # back-face cull — make the 8x8 system singular. Degrade to
+            # the flat-color path instead of crashing the frame.
+            return False
         patch = tex.transform((w, h), Image.PERSPECTIVE, tuple(coeffs),
                               Image.BILINEAR)
         if shade != 1.0:

@@ -237,8 +237,8 @@ def train(algo: str = "a2c",
         def run_chunk(state):
             all_metrics = []
             for _ in range(iterations_per_chunk):
-                state, traj, c0 = rollout_fn(state)
-                adv, ret = targets_fn(state, traj)
+                state, traj, c0, boot = rollout_fn(state)
+                adv, ret = targets_fn(state, traj, boot)
                 for _ in range(n_epochs // epochs_per_call):
                     state, m = update_fn(state, traj, c0, adv, ret)
                     all_metrics.append(m)

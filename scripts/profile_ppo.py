@@ -60,10 +60,10 @@ if __name__ == "__main__":
 
         def iteration(state):
             t0 = time.time()
-            state, traj, c0 = rollout_fn(state)
+            state, traj, c0, boot = rollout_fn(state)
             jax.tree.leaves(traj)[0].ravel()[0].item()  # honest sync
             t1 = time.time()
-            adv, ret = targets_fn(state, traj)
+            adv, ret = targets_fn(state, traj, boot)
             for _ in range(cfg.n_epochs // epochs_per_call):
                 state, m = update_fn(state, traj, c0, adv, ret)
             float(m["loss"])

@@ -329,3 +329,46 @@ def test_fused_step_under_shard_map():
                                   np.asarray(s_flat.rolled))
     np.testing.assert_array_equal(np.asarray(r_flat.scal),
                                   np.asarray(s_flat.scal))
+
+
+def test_sharded_bench_rollout_parity():
+    """bench.py --mesh N's actual code path (build_sharded_rollout: chunked
+    kernel + auto-reset per shard) produces per-env trajectories
+    bit-identical to the single-device FusedVecPlantOS.rollout — the
+    correctness gate for the day-one multi-chip scaling table."""
+    from rlenv_tpu.env.fused_vector import build_sharded_rollout
+    from rlenv_tpu.parallel.mesh import make_mesh
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    config = EnvConfig(grid_size=9, num_plants=2, num_obstacles=3,
+                       lidar_range=2, lidar_channels=4, max_steps=5)
+    env = PlantOS(config)
+    B, K = n_dev * 2, 5    # K == max_steps: auto-resets at the chunk end
+    mesh = make_mesh(n_dev, model_parallel=1)
+
+    reset_fn, rollout_fn = build_sharded_rollout(env, B, mesh, K,
+                                                 interpret=True)
+    key = jax.random.PRNGKey(7)
+    s_flat, s_obs0 = jax.jit(reset_fn)(key)
+    actions = jnp.asarray(
+        np.random.default_rng(11).integers(0, 5, size=(2, K, B)), jnp.int32)
+
+    fenv = FusedVecPlantOS(env, B, interpret=True)
+    r_flat, r_obs0, _ = fenv.reset(key)
+    np.testing.assert_array_equal(np.asarray(r_obs0), np.asarray(s_obs0))
+
+    for chunk in range(2):   # second chunk starts from auto-reset states
+        s_flat, s_next, s_traj = jax.jit(rollout_fn)(s_flat, actions[chunk])
+        r_flat, r_next, r_traj = fenv.rollout(r_flat, actions[chunk])
+        np.testing.assert_array_equal(np.asarray(r_traj["obs"]),
+                                      np.asarray(s_traj["obs"]))
+        np.testing.assert_array_equal(np.asarray(r_traj["rewards"]),
+                                      np.asarray(s_traj["rewards"]))
+        np.testing.assert_array_equal(np.asarray(r_traj["truncated"]),
+                                      np.asarray(s_traj["truncated"]))
+        np.testing.assert_array_equal(np.asarray(r_next),
+                                      np.asarray(s_next))
+        np.testing.assert_array_equal(np.asarray(r_flat.scal),
+                                      np.asarray(s_flat.scal))

@@ -118,3 +118,20 @@ def test_textured_gif_records(tmp_path, ref_assets):
     # textured frames carry far more distinct colors than the flat-color
     # fallback look (~8 palette colors)
     assert np.unique(img.reshape(-1, 3), axis=0).shape[0] > 100
+
+
+def test_degenerate_quad_falls_back_to_flat():
+    """(Near-)collinear projected corners make the homography solve
+    singular; the renderer must degrade to the flat-color path instead of
+    raising (round-4 advisor finding)."""
+    from PIL import Image
+    from rlenv_tpu.render.stage_software import SoftwareStage
+
+    stage = SoftwareStage()
+    img = Image.new("RGB", (stage.camera.width, stage.camera.height))
+    # Four coincident world points: the projected corners repeat, the 8x8
+    # system has duplicate rows (exactly singular), and np.linalg.solve
+    # raises — the guard must turn that into a False (flat-color) return.
+    quad = np.tile(np.array([0.123, 0.456, 0.789]), (4, 1))
+    tex = Image.new("RGB", (8, 8), (10, 20, 30))
+    assert stage._textured_poly(img, quad, tex) is False

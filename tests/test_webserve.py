@@ -115,3 +115,12 @@ def test_streams_trained_policy_episode(server, tmp_path):
             break
         time.sleep(0.2)
     assert not s["running"], "Stop cancels the stream"
+
+
+def test_non_loopback_bind_requires_opt_in():
+    """/start loads model files from client-supplied paths, so an open
+    bind must be an explicit opt-in (round-4 advisor finding)."""
+    from rlenv_tpu.apps import webserve
+
+    with pytest.raises(ValueError, match="allow-remote"):
+        webserve.serve(host="0.0.0.0", port=0, block=False)
