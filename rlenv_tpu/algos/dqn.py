@@ -384,6 +384,16 @@ class DQNTrainer:
         else:
             target = batch["rewards"] + cfg.gamma * jnp.where(
                 batch["terminated"], 0.0, q_boot)
+        if cfg.td_target_clip > 0:
+            # Rate-limit target drift (DQNConfig.td_target_clip): the
+            # target may move at most +-clip from the online estimate per
+            # update, breaking runaway bootstrap feedback loops.
+            q_cur = jnp.take_along_axis(
+                self.model.apply(state.params, batch["obs"]),
+                batch["actions"][:, None], axis=-1)[:, 0]
+            target = q_cur + jnp.clip(target - q_cur,
+                                      -cfg.td_target_clip,
+                                      cfg.td_target_clip)
 
         def loss_fn(params):
             q = self.model.apply(params, batch["obs"])

@@ -208,6 +208,13 @@ class DQNConfig:
     # the same env lane), stopping at episode boundaries and at the
     # write head; termination zeroes the bootstrap, truncation keeps it.
     n_step: int = 1
+    # td_target_clip > 0 clamps the TD target to within +-clip of the
+    # online net's CURRENT estimate (target = Q(s,a) + clip(delta)): a
+    # long-horizon Q-divergence stabilizer — each update can move the
+    # target at most clip, so runaway bootstrap feedback (the measured
+    # 20M-step collapse mechanism, RESULTS.md round 4) is rate-limited
+    # without biasing converged targets. 0 = off (SB3-exact).
+    td_target_clip: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

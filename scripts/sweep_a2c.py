@@ -62,6 +62,13 @@ CONFIGS = {
     # longer bootstrap horizon with more entropy
     "dqnrew_a2ccur_n32_ent05": (RewardConfig.dqn, CurriculumConfig.a2c,
                                 {"n_steps": 32, "ent_coef": 0.05}),
+    # -- round 5: re-baseline of the best cell after the Monitor-parity
+    # fix (episode stats now log RAW env rewards, not the
+    # timeout-bootstrapped training reward; the GAE math is bit-identical
+    # via the deferred batched bootstrap forward). The return column drops
+    # by ~gamma*V(s_T) per episode relative to earlier rounds; exploration
+    # is unaffected.
+    "dqnrew_a2ccur_r5": (RewardConfig.dqn, CurriculumConfig.a2c, {}),
 }
 
 

@@ -72,6 +72,35 @@ CONFIGS = {
     "anneal10_eps01_double": {"exploration_fraction": 1.0,
                               "exploration_final_eps": 0.01,
                               "double_q": True},
+    # -- stage 4 (round 5): the 20M collapse. Round 4 measured the best
+    # 10M combo COLLAPSING past ~12M at 2x budget (final-quarter 14.6%,
+    # Q-divergence). "_total" overrides the step budget per cell. Levers:
+    # lr anneal GATED ON THE POST-eps-FLOOR PHASE (the floor lands at 90%
+    # of training with anneal09 — round 4 only tried whole-run decay),
+    # slower/harder target updates at scale, and TD-target clipping
+    # (DQNConfig.td_target_clip, round-5 knob: target drift rate-limited
+    # to +-clip per update).
+    "20m_lrgate": {"_total": 20_000_000, "exploration_fraction": 0.9,
+                   "exploration_final_eps": 0.01, "double_q": True,
+                   "lr_decay_start_fraction": 0.9},
+    "20m_lrgate_deep": {"_total": 20_000_000, "exploration_fraction": 0.9,
+                        "exploration_final_eps": 0.01, "double_q": True,
+                        "lr_decay_start_fraction": 0.9,
+                        "lr_final_scale": 0.01},
+    "20m_t50k": {"_total": 20_000_000, "exploration_fraction": 0.9,
+                 "exploration_final_eps": 0.01, "double_q": True,
+                 "target_update_interval": 50_000},
+    "20m_clip50": {"_total": 20_000_000, "exploration_fraction": 0.9,
+                   "exploration_final_eps": 0.01, "double_q": True,
+                   "td_target_clip": 50.0},
+    "20m_clip10": {"_total": 20_000_000, "exploration_fraction": 0.9,
+                   "exploration_final_eps": 0.01, "double_q": True,
+                   "td_target_clip": 10.0},
+    "20m_clip50_lrgate": {"_total": 20_000_000,
+                          "exploration_fraction": 0.9,
+                          "exploration_final_eps": 0.01, "double_q": True,
+                          "td_target_clip": 50.0,
+                          "lr_decay_start_fraction": 0.9},
 }
 
 
@@ -107,12 +136,13 @@ def main() -> None:
         if name in done:
             print(f"[sweep] {name}: already done, skipping", flush=True)
             continue
-        overrides = CONFIGS[name]
+        overrides = dict(CONFIGS[name])
+        cell_total = overrides.pop("_total", TOTAL)
         log_dir = os.path.join(OUT, name)
         t0 = time.time()
         try:
             _, result = train(
-                algo="dqn", total_timesteps=TOTAL, n_envs=N_ENVS,
+                algo="dqn", total_timesteps=cell_total, n_envs=N_ENVS,
                 use_curriculum=True,
                 env_config=EnvConfig.training(rewards=RewardConfig.dqn()),
                 algo_config=dataclasses.replace(DQNConfig(), **overrides),

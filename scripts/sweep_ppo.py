@@ -99,6 +99,32 @@ CONFIGS = {
                              CurriculumConfig.a2c,
                              _ppo(n_steps=256, batch_size=4096),
                              {"total_timesteps": 9_000_000}),
+    # -- round 5: re-baseline after the SB3 timeout-bootstrap fix (PPO now
+    # bootstraps gamma*V(terminal_obs) on truncation — value targets
+    # changed) and the cast_params_once speed lever (13.4k steps/s at the
+    # flagship config, up from 9.6k; profile logs in RESULTS.md).
+    "n1024_b16384_r5": (RewardConfig.recurrent_ppo, CurriculumConfig.ppo_dqn,
+                        _ppo(n_steps=1024, batch_size=16384)),
+    "n1024_b16384_a2ccur_r5": (RewardConfig.recurrent_ppo,
+                               CurriculumConfig.a2c,
+                               _ppo(n_steps=1024, batch_size=16384)),
+    # speed frontier: M=256-sequence minibatches halve the update's serial
+    # BPTT steps (weight traffic dominates; see the round-5 roofline)
+    "n1024_b32768_a2ccur_r5": (RewardConfig.recurrent_ppo,
+                               CurriculumConfig.a2c,
+                               _ppo(n_steps=1024, batch_size=32768)),
+    # A/B for cast_params_once: f32 in-scan weights + f32 grad
+    # accumulation (the round-4 numerics) at the new-semantics baseline
+    "n1024_b16384_a2ccur_f32cast": (RewardConfig.recurrent_ppo,
+                                    CurriculumConfig.a2c,
+                                    _ppo(n_steps=1024, batch_size=16384,
+                                         cast_params_once=False)),
+    # -- round 5: the 30M asymptote run (VERDICT #3) — the best config at
+    # full speed, measured to saturation like the A2C 50M/200M table
+    "n1024_b16384_a2ccur_30m": (RewardConfig.recurrent_ppo,
+                                CurriculumConfig.a2c,
+                                _ppo(n_steps=1024, batch_size=16384),
+                                {"total_timesteps": 30_000_000}),
 }
 
 

@@ -242,6 +242,37 @@ def test_dqn_double_q(venv):
         for a, b in zip(jax.tree.leaves(sv.params), jax.tree.leaves(sd.params)))
 
 
+def test_dqn_td_target_clip(venv):
+    """td_target_clip (round-5 stabilizer) rate-limits target drift: with
+    a huge clip the update equals vanilla bit-for-bit; with a tiny clip
+    the produced params differ (the clamp actually engaged)."""
+    import dataclasses as dc
+
+    base = dict(hidden_sizes=(16,), buffer_size=512, batch_size=64,
+                learning_starts=0, train_freq=2, target_update_interval=8)
+    vanilla = DQNTrainer(venv, DQNConfig(**base), total_timesteps=10_000)
+    loose = DQNTrainer(venv, DQNConfig(td_target_clip=1e9, **base),
+                       total_timesteps=10_000)
+    tight = DQNTrainer(venv, DQNConfig(td_target_clip=1e-3, **base),
+                       total_timesteps=10_000)
+
+    s = vanilla.init(jax.random.PRNGKey(0))
+    # distinct online vs target nets so TD errors are nonzero
+    s = dc.replace(s, target_params=vanilla.init(jax.random.PRNGKey(1)).params)
+    s, _ = jax.jit(lambda st: vanilla.train_chunk(st, 2))(s)
+
+    sv, mv = jax.jit(vanilla._gradient_step)(s)
+    sl, ml = jax.jit(loose._gradient_step)(s)
+    st_, mt = jax.jit(tight._gradient_step)(s)
+    for a, b in zip(jax.tree.leaves(sv.params), jax.tree.leaves(sl.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(sv.params),
+                        jax.tree.leaves(st_.params)))
+    assert np.isfinite(float(mt["loss"]))
+
+
 # -- Recurrent PPO -----------------------------------------------------------
 
 def test_recurrent_ppo_train_iteration(venv):
