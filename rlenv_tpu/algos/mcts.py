@@ -67,11 +67,26 @@ def policy_score_fn(runner):
         f"got {runner.model_type!r}")
 
 
+def value_score_fn(runner):
+    """Turn a loaded DQN/A2C checkpoint into the pure ``obs -> V(obs)``
+    state-value fn for AlphaZero-style leaf evaluation
+    (:class:`MCTSPlanner` ``leaf_value``): a DQN gives
+    ``V(s) = max_a Q(s, a)``, an A2C its critic head."""
+    if runner.model_type == "dqn":
+        return lambda obs: jnp.max(runner.model.apply(runner.params, obs))
+    if runner.model_type == "a2c":
+        return lambda obs: runner.model.apply(runner.params, obs)[1]
+    raise ValueError(
+        f"leaf value needs a stateless critic (dqn/a2c), "
+        f"got {runner.model_type!r}")
+
+
 class MCTSPlanner:
     """Model-based planner over the functional PlantOS env (no NN)."""
 
     def __init__(self, env: PlantOS, config: MCTSConfig = MCTSConfig(),
-                 interpret: bool | None = None, rollout_policy=None):
+                 interpret: bool | None = None, rollout_policy=None,
+                 leaf_value=None):
         """``rollout_policy``: optional trained prior for the rollout phase
         — a pure fn ``obs[obs_dim] -> scores[num_actions]`` (e.g. a trained
         Q-network's values or an actor's logits; build one from a saved
@@ -80,12 +95,20 @@ class MCTSPlanner:
         greedy action instead of the reference's 70/30
         least-visited/random draw (`mcts_custom_trainer.py:168-216`);
         under ``vmap`` the per-step policy evaluations batch into
-        MXU-shaped matmuls, so guidance is nearly free on TPU. The fused
-        Pallas search path keeps the in-kernel 70/30 policy (guided search
-        goes through ``search_batch``)."""
+        MXU-shaped matmuls, so guidance is nearly free on TPU.
+
+        ``leaf_value``: optional trained critic ``obs[obs_dim] -> V``
+        (build one with :func:`value_score_fn`) for AlphaZero-style leaf
+        evaluation: the backup becomes ``(1-mix)*rollout + mix*V(leaf)``
+        with ``mix = config.leaf_value_mix``; at mix=1.0 the rollout phase
+        is skipped entirely (pure value bootstrap — ~max_depth× fewer env
+        steps per simulation). The fused Pallas search path keeps the
+        in-kernel reference semantics (guided/value search goes through
+        ``search_batch``)."""
         self.env = env
         self.config = config
         self.rollout_policy = rollout_policy
+        self.leaf_value = leaf_value
         self._deltas = jnp.asarray(_ACTION_DELTAS[:4])
         # jit-compiled batched search: (EnvState batch, keys[B]) -> actions[B]
         self.search_batch = jax.jit(jax.vmap(self.search))
@@ -228,9 +251,24 @@ class MCTSPlanner:
             # obs only feeds the optional rollout policy; env.step keeps it
             # current thereafter (XLA drops it when no policy is set).
             obs0 = self.env.observe(sim)
-            _, _, _, rollout_return, _, _ = jax.lax.while_loop(
-                roll_cond, roll_body,
-                (sim, obs0, depth, jnp.float32(0), jnp.bool_(False), k_roll))
+            mix = cfg.leaf_value_mix if self.leaf_value is not None else 0.0
+            if mix >= 1.0:
+                # Pure value bootstrap: no rollout at all. The reference's
+                # +500 full-exploration rollout bonus applies when the
+                # LEAF itself is fully explored.
+                leaf_info = self.env.get_info(sim)
+                bonus = jnp.where(
+                    leaf_info["exploration_percentage"] >= 100.0,
+                    cfg.completion_bonus, 0.0)
+                rollout_return = self.leaf_value(obs0) + bonus
+            else:
+                _, _, _, rollout_return, _, _ = jax.lax.while_loop(
+                    roll_cond, roll_body,
+                    (sim, obs0, depth, jnp.float32(0), jnp.bool_(False),
+                     k_roll))
+                if mix > 0.0:
+                    rollout_return = ((1.0 - mix) * rollout_return
+                                      + mix * self.leaf_value(obs0))
 
             # --- BACKPROP (`mcts_custom_trainer.py:131-134`) ---
             def bp_cond(c):

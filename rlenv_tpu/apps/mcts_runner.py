@@ -37,6 +37,7 @@ def run_mcts(n_episodes: int = 50, n_simulations: int = 50,
              policy_path: Optional[str] = None,
              policy_type: str = "auto",
              rollout_policy_prob: float = 0.8,
+             leaf_value_mix: float = 0.0,
              verbose: bool = True) -> dict:
     """Plan with MCTS over batches of episodes; returns the stats dict
     (same keys as the reference pickles, `mcts_custom_trainer.py:347-353`).
@@ -52,19 +53,27 @@ def run_mcts(n_episodes: int = 50, n_simulations: int = 50,
                         lidar_channels=16)
     env = PlantOS(env_cfg)
     rollout_policy = None
+    leaf_value = None
     if policy_path:
-        from rlenv_tpu.algos.mcts import policy_score_fn
+        from rlenv_tpu.algos.mcts import policy_score_fn, value_score_fn
         from rlenv_tpu.apps.policies import load_policy
-        rollout_policy = policy_score_fn(
-            load_policy(policy_path, policy_type, env_cfg))
+        runner = load_policy(policy_path, policy_type, env_cfg)
+        if leaf_value_mix > 0:
+            # AlphaZero-style leaf evaluation from the same checkpoint
+            # (DQN: V = max_a Q; A2C: the critic head).
+            leaf_value = value_score_fn(runner)
+        else:
+            rollout_policy = policy_score_fn(runner)
         fused = False
     planner = MCTSPlanner(env, MCTSConfig(n_simulations=n_simulations,
                                           max_depth=max_depth,
                                           max_nodes=max(n_simulations + 8,
                                                         32),
                                           rollout_policy_prob=
-                                          rollout_policy_prob),
-                          rollout_policy=rollout_policy)
+                                          rollout_policy_prob,
+                                          leaf_value_mix=leaf_value_mix),
+                          rollout_policy=rollout_policy,
+                          leaf_value=leaf_value)
     v_step = jax.jit(jax.vmap(env.step))
     horizon = max_episode_steps or env_cfg.max_steps
 
@@ -164,6 +173,11 @@ def main() -> None:
     parser.add_argument("--policy-type", type=str, default="auto")
     parser.add_argument("--policy-prob", type=float, default=0.8,
                         help="Per-step probability of the prior's action")
+    parser.add_argument("--leaf-value-mix", type=float, default=0.0,
+                        help="AlphaZero-style leaf evaluation: backup = "
+                             "(1-mix)*rollout + mix*V(leaf) from the "
+                             "--policy checkpoint's critic; 1.0 skips "
+                             "rollouts entirely")
     args = parser.parse_args()
     run_mcts(n_episodes=args.episodes, n_simulations=args.simulations,
              grid_size=args.grid_size, num_plants=args.plants,
@@ -171,6 +185,7 @@ def main() -> None:
              render=args.render, fused=args.fused,
              policy_path=args.policy, policy_type=args.policy_type,
              rollout_policy_prob=args.policy_prob,
+             leaf_value_mix=args.leaf_value_mix,
              save_dir="mcts_models" if args.mode == "train" else None)
 
 

@@ -287,3 +287,12 @@ class MCTSConfig:
     # probability per rollout step of taking the prior's greedy action;
     # the remaining mass falls back to the reference's 70/30 draw.
     rollout_policy_prob: float = 0.8
+    # AlphaZero-style leaf evaluation (opt-in, beyond the reference's
+    # planner): with MCTSPlanner(leaf_value=...) set, the backed-up value
+    # becomes (1-mix)*rollout_return + mix*V(leaf_obs) from a trained
+    # critic. The round-4 frontier showed the tree policy — not rollout
+    # quality — binds; a leaf value attacks that directly. mix=1.0 skips
+    # rollouts entirely (pure value bootstrap; the +500 completion bonus
+    # then applies only when the leaf itself is fully explored). 0 = off
+    # (reference semantics, `mcts_custom_trainer.py:127-134`).
+    leaf_value_mix: float = 0.0

@@ -557,6 +557,43 @@ def test_mcts_not_worse_than_random_exploration():
     assert explored_m >= explored_r, (explored_m, explored_r)
 
 
+def test_mcts_leaf_value_bootstrap():
+    """AlphaZero-style leaf evaluation (round-5 opt-in): with
+    leaf_value_mix=1.0 the backup is the critic's V(leaf_obs) — no
+    rollouts — and the planner prefers the action a hand-built value
+    function rates highest; mix=0 with a leaf_value set reproduces the
+    reference rollout semantics bit-for-bit."""
+    env = PlantOS(EnvConfig(grid_size=7, num_plants=2, num_obstacles=0,
+                            lidar_range=2, lidar_channels=4, max_steps=60))
+
+    # Value fn that loves freshly-visited cells: V = sum of the visit-map
+    # window (obs tail) — climbing it rewards exploration-adjacent states.
+    def leaf_v(obs):
+        return 1000.0 * jnp.sum(obs[-25:])
+
+    base = MCTSPlanner(env, MCTSConfig(n_simulations=12, max_depth=8,
+                                       max_nodes=16))
+    mixed = MCTSPlanner(env, MCTSConfig(n_simulations=12, max_depth=8,
+                                        max_nodes=16, leaf_value_mix=1.0),
+                        leaf_value=leaf_v)
+    off = MCTSPlanner(env, MCTSConfig(n_simulations=12, max_depth=8,
+                                      max_nodes=16, leaf_value_mix=0.0),
+                      leaf_value=leaf_v)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    states, _, _ = jax.vmap(env.reset)(keys)
+    skeys = jax.random.split(jax.random.PRNGKey(1), 4)
+    a_base = np.asarray(base.search_batch(states, skeys))
+    a_mixed = np.asarray(mixed.search_batch(states, skeys))
+    a_off = np.asarray(off.search_batch(states, skeys))
+    assert a_mixed.min() >= 0 and a_mixed.max() < 5
+    # mix=0 ignores the leaf value entirely (reference semantics intact)
+    np.testing.assert_array_equal(a_base, a_off)
+    # deterministic for identical inputs
+    np.testing.assert_array_equal(
+        a_mixed, np.asarray(mixed.search_batch(states, skeys)))
+
+
 def test_mcts_ucb_selection():
     """UCB1 math on a hand-built tree (`mcts_custom_trainer.py:38-59`):
     exploitation + c*sqrt(ln(parent_visits)/child_visits), absent children
