@@ -126,9 +126,15 @@ class FusedVecPlantOS:
         """
         K = actions.shape[0]
         if K not in self._rollouts:
-            self._rollouts[K] = build_fused_rollout(
-                self.env.config, self.num_envs, K,
-                block_envs=self._block_envs, interpret=self._interpret)
+            # The builder materializes constant tables (selector matrices,
+            # LIDAR offsets) as jnp arrays; when the first rollout call is
+            # itself being traced (jit/shard_map), force those to concrete
+            # compile-time values — otherwise the cached closure would hold
+            # leaked tracers.
+            with jax.ensure_compile_time_eval():
+                self._rollouts[K] = build_fused_rollout(
+                    self.env.config, self.num_envs, K,
+                    block_envs=self._block_envs, interpret=self._interpret)
         flat, obs_seq, rewards, term, trunc, water = self._rollouts[K](
             flat, actions)
         need = chunk_done(flat)

@@ -406,15 +406,20 @@ def test_a2c_stats_raw_rewards_gae_bootstrapped(trunc_venv):
 
     # Oracle: replicate the rollout loop step by step in Python, computing
     # the INLINE bootstrap (one value forward per step) as SB3 does.
+    # (jit the per-step callables once — eager venv.step re-traces the
+    # auto-reset lax.cond every call, see .claude/skills/verify.)
+    policy_j = jax.jit(trainer.policy)
+    step_j = jax.jit(trunc_venv.step)
+    apply_j = jax.jit(trainer.model.apply)
     obs, env_state, key = state.obs, state.env_state, state.key
     raw, boot, timeouts, dones = [], [], [], []
     for _ in range(cfg.n_steps):
         key, k_act = jax.random.split(key)
-        action, _, _ = trainer.policy(params, obs, k_act)
-        env_state, obs, reward, term, trunc, info = trunc_venv.step(
+        action, _, _ = policy_j(params, obs, k_act)
+        env_state, obs, reward, term, trunc, info = step_j(
             env_state, action)
         timeout = np.asarray(trunc & ~term)
-        _, v_final = trainer.model.apply(params, info["final_obs"])
+        _, v_final = apply_j(params, info["final_obs"])
         raw.append(np.asarray(reward))
         boot.append(np.asarray(reward)
                     + cfg.gamma * np.asarray(v_final) * timeout)
@@ -459,6 +464,9 @@ def test_recurrent_ppo_timeout_bootstrap(trunc_venv):
     params = state.params
 
     # Oracle loop: inline per-step bootstrap with the post-step carry.
+    policy_j = jax.jit(trainer.policy, static_argnames=("deterministic",))
+    step_j = jax.jit(trunc_venv.step)
+    apply_j = jax.jit(trainer.model.apply)
     obs, carry, ep_start = state.obs, state.carry, state.episode_start
     env_state, key = state.env_state, state.key
     B = obs.shape[0]
@@ -466,12 +474,11 @@ def test_recurrent_ppo_timeout_bootstrap(trunc_venv):
     timeout_counts = np.zeros(B, np.int32)
     for _ in range(cfg.n_steps):
         key, k_act = jax.random.split(key)
-        action, _, _, carry = trainer.policy(params, obs, carry, ep_start,
-                                             k_act)
-        env_state, obs, reward, term, trunc, info = trunc_venv.step(
+        action, _, _, carry = policy_j(params, obs, carry, ep_start, k_act)
+        env_state, obs, reward, term, trunc, info = step_j(
             env_state, action)
         timeout = np.asarray(trunc & ~term)
-        _, v_final, _ = trainer.model.apply(
+        _, v_final, _ = apply_j(
             params, info["final_obs"], carry, jnp.zeros(B, bool))
         raw.append(np.asarray(reward))
         boot.append(np.asarray(reward)

@@ -55,7 +55,9 @@ def _step_parity(envs, horizon):
     np.testing.assert_array_equal(np.asarray(ref_obs), np.asarray(fused_obs))
 
     ref_step = jax.jit(venv.step)
-    fused_step = fenv.step  # interpret-mode pallas: run uncompiled
+    # jit the interpret-mode pallas step: one compile (persistently
+    # cached) instead of ~6 s of op-by-op interpretation PER STEP.
+    fused_step = jax.jit(fenv.step)
 
     rng = np.random.default_rng(7)
     for t in range(horizon):
@@ -100,9 +102,10 @@ def test_fused_watering_parity(envs):
     ref_states, _, _ = venv.reset(key)
     flat, _, _ = fenv.reset(key)
     water = jnp.full((N_ENVS,), 4, jnp.int32)
+    ref_step, f_step = jax.jit(venv.step), jax.jit(fenv.step)
     for _ in range(3):
-        ref_states, _, ref_r, *_ = venv.step(ref_states, water)
-        flat, _, f_r, *_ = fenv.step(flat, water)
+        ref_states, _, ref_r, *_ = ref_step(ref_states, water)
+        flat, _, f_r, *_ = f_step(flat, water)
         np.testing.assert_array_equal(np.asarray(ref_r), np.asarray(f_r))
 
 
@@ -137,11 +140,12 @@ def _curriculum_parity(horizon):
     np.testing.assert_array_equal(np.asarray(ref_obs), np.asarray(fus_obs))
 
     ref_step = jax.jit(ref.step)
+    fus_step = jax.jit(fus.step)
     rng = np.random.default_rng(11)
     for t in range(horizon):
         actions = jnp.asarray(rng.integers(0, 5, size=N_ENVS), jnp.int32)
         ref_c, ref_obs, ref_r, ref_te, ref_tr, ref_i = ref_step(ref_c, actions)
-        fus_c, fus_obs, f_r, f_te, f_tr, f_i = fus.step(fus_c, actions)
+        fus_c, fus_obs, f_r, f_te, f_tr, f_i = fus_step(fus_c, actions)
         np.testing.assert_array_equal(
             np.asarray(ref_obs), np.asarray(fus_obs), err_msg=f"obs t={t}")
         np.testing.assert_array_equal(np.asarray(ref_r), np.asarray(f_r))
@@ -321,7 +325,7 @@ def test_fused_step_under_shard_map():
                    P("data")),
         check_vma=False)
     s_flat, s_obs, s_rew, s_te, s_tr, _ = jax.jit(sharded)(flat, actions)
-    r_flat, r_obs, r_rew, r_te, r_tr, _ = fenv._fused(flat, actions)
+    r_flat, r_obs, r_rew, r_te, r_tr, _ = jax.jit(fenv._fused)(flat, actions)
 
     np.testing.assert_array_equal(np.asarray(r_obs), np.asarray(s_obs))
     np.testing.assert_array_equal(np.asarray(r_rew), np.asarray(s_rew))
@@ -359,9 +363,11 @@ def test_sharded_bench_rollout_parity():
     r_flat, r_obs0, _ = fenv.reset(key)
     np.testing.assert_array_equal(np.asarray(r_obs0), np.asarray(s_obs0))
 
+    roll_sharded = jax.jit(rollout_fn)
+    roll_single = jax.jit(fenv.rollout)
     for chunk in range(2):   # second chunk starts from auto-reset states
-        s_flat, s_next, s_traj = jax.jit(rollout_fn)(s_flat, actions[chunk])
-        r_flat, r_next, r_traj = fenv.rollout(r_flat, actions[chunk])
+        s_flat, s_next, s_traj = roll_sharded(s_flat, actions[chunk])
+        r_flat, r_next, r_traj = roll_single(r_flat, actions[chunk])
         np.testing.assert_array_equal(np.asarray(r_traj["obs"]),
                                       np.asarray(s_traj["obs"]))
         np.testing.assert_array_equal(np.asarray(r_traj["rewards"]),

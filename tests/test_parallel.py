@@ -178,6 +178,7 @@ def test_sharded_recurrent_ppo_training_step():
                                    atol=2e-4, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_elastic_sharded_checkpoint_resume(tmp_path):
     """Mesh-shape-elastic resume: a train state saved while sharded over
     an 8-device {'data':4,'model':2} mesh restores onto a DIFFERENT
