@@ -55,8 +55,9 @@ def mesh_main(n_mesh: int) -> None:
     from rlenv_tpu.env.fused_vector import build_sharded_rollout
     from rlenv_tpu.parallel.mesh import make_mesh
 
-    assert CHUNK > 0
     env = PlantOS(EnvConfig.training())
+    assert env.config.max_steps % CHUNK == 0, \
+        "BENCH_CHUNK must divide max_steps for per-step-exact chunks"
     mesh = make_mesh(n_mesh, model_parallel=1)
     reset_fn, rollout_fn = build_sharded_rollout(
         env, NUM_ENVS, mesh, CHUNK,

@@ -101,6 +101,23 @@ CONFIGS = {
                           "exploration_final_eps": 0.01, "double_q": True,
                           "td_target_clip": 50.0,
                           "lr_decay_start_fraction": 0.9},
+    # -- stage 5: target-update cadence is the measured lever (t50k:
+    # final-quarter 58.2% vs 14.6% collapse; lr-gate and TD-clip are
+    # null results at 20M). Push the cadence axis + combine with lr-gate.
+    "20m_t100k": {"_total": 20_000_000, "exploration_fraction": 0.9,
+                  "exploration_final_eps": 0.01, "double_q": True,
+                  "target_update_interval": 100_000},
+    "20m_t200k": {"_total": 20_000_000, "exploration_fraction": 0.9,
+                  "exploration_final_eps": 0.01, "double_q": True,
+                  "target_update_interval": 200_000},
+    "20m_t50k_lrgate": {"_total": 20_000_000, "exploration_fraction": 0.9,
+                        "exploration_final_eps": 0.01, "double_q": True,
+                        "target_update_interval": 50_000,
+                        "lr_decay_start_fraction": 0.9},
+    "20m_t100k_lrgate": {"_total": 20_000_000, "exploration_fraction": 0.9,
+                         "exploration_final_eps": 0.01, "double_q": True,
+                         "target_update_interval": 100_000,
+                         "lr_decay_start_fraction": 0.9},
 }
 
 
