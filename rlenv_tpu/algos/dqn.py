@@ -385,15 +385,18 @@ class DQNTrainer:
             target = batch["rewards"] + cfg.gamma * jnp.where(
                 batch["terminated"], 0.0, q_boot)
         if cfg.td_target_clip > 0:
-            # Rate-limit target drift (DQNConfig.td_target_clip): the
-            # target may move at most +-clip from the online estimate per
-            # update, breaking runaway bootstrap feedback loops.
+            # Clamp the target to within +-clip of the online estimate.
+            # Unsaturated samples keep the ORIGINAL target bitwise (the
+            # where, not q_cur + (target - q_cur), which would reround) —
+            # so with the Huber knee at 1.0 any clip >= 1 is exactly the
+            # vanilla update on every backend (see DQNConfig docstring).
             q_cur = jnp.take_along_axis(
                 self.model.apply(state.params, batch["obs"]),
                 batch["actions"][:, None], axis=-1)[:, 0]
-            target = q_cur + jnp.clip(target - q_cur,
-                                      -cfg.td_target_clip,
-                                      cfg.td_target_clip)
+            delta = target - q_cur
+            c = cfg.td_target_clip
+            target = jnp.where(jnp.abs(delta) <= c, target,
+                               q_cur + jnp.clip(delta, -c, c))
 
         def loss_fn(params):
             q = self.model.apply(params, batch["obs"])

@@ -209,11 +209,14 @@ class DQNConfig:
     # write head; termination zeroes the bootstrap, truncation keeps it.
     n_step: int = 1
     # td_target_clip > 0 clamps the TD target to within +-clip of the
-    # online net's CURRENT estimate (target = Q(s,a) + clip(delta)): a
-    # long-horizon Q-divergence stabilizer — each update can move the
-    # target at most clip, so runaway bootstrap feedback (the measured
-    # 20M-step collapse mechanism, RESULTS.md round 4) is rate-limited
-    # without biasing converged targets. 0 = off (SB3-exact).
+    # online net's CURRENT estimate (target = Q(s,a) + clip(delta)).
+    # MEASURED FINDING (round 5): with the Huber loss (knee 1.0, SB3's
+    # default) any clip >= 1 is a mathematical no-op — Huber's gradient
+    # already saturates to sign(delta) beyond the knee, so clipping the
+    # target farther out changes the loss VALUE but never a gradient
+    # (bitwise-identical 20M runs, RESULTS.md round-5 DQN notes;
+    # pinned by tests). Only clip < 1 bites, acting as a per-sample
+    # gradient downscale below the knee. 0 = off (SB3-exact).
     td_target_clip: float = 0.0
 
 

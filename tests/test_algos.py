@@ -242,16 +242,21 @@ def test_dqn_double_q(venv):
         for a, b in zip(jax.tree.leaves(sv.params), jax.tree.leaves(sd.params)))
 
 
-def test_dqn_td_target_clip(venv):
-    """td_target_clip (round-5 stabilizer) rate-limits target drift: with
-    a huge clip the update equals vanilla bit-for-bit; with a tiny clip
-    the produced params differ (the clamp actually engaged)."""
+def test_dqn_td_target_clip_huber_subsumption(venv):
+    """Pins the round-5 measured mechanism: under the Huber loss (knee
+    1.0, SB3 default) any td_target_clip >= 1 is a mathematical no-op —
+    Huber's gradient already saturates to sign(residual) beyond the knee,
+    so clamping the target farther out changes no gradient (the 20M TPU
+    cells came back bitwise identical to base). Only clips below the
+    knee bite, by downscaling the per-sample gradient."""
     import dataclasses as dc
 
     base = dict(hidden_sizes=(16,), buffer_size=512, batch_size=64,
                 learning_starts=0, train_freq=2, target_update_interval=8)
     vanilla = DQNTrainer(venv, DQNConfig(**base), total_timesteps=10_000)
-    loose = DQNTrainer(venv, DQNConfig(td_target_clip=1e9, **base),
+    at_knee = DQNTrainer(venv, DQNConfig(td_target_clip=1.0, **base),
+                         total_timesteps=10_000)
+    loose = DQNTrainer(venv, DQNConfig(td_target_clip=10.0, **base),
                        total_timesteps=10_000)
     tight = DQNTrainer(venv, DQNConfig(td_target_clip=1e-3, **base),
                        total_timesteps=10_000)
@@ -262,14 +267,20 @@ def test_dqn_td_target_clip(venv):
     s, _ = jax.jit(lambda st: vanilla.train_chunk(st, 2))(s)
 
     sv, mv = jax.jit(vanilla._gradient_step)(s)
+    sk, _ = jax.jit(at_knee._gradient_step)(s)
     sl, ml = jax.jit(loose._gradient_step)(s)
     st_, mt = jax.jit(tight._gradient_step)(s)
-    for a, b in zip(jax.tree.leaves(sv.params), jax.tree.leaves(sl.params)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    assert any(
-        not np.array_equal(np.asarray(a), np.asarray(b))
-        for a, b in zip(jax.tree.leaves(sv.params),
-                        jax.tree.leaves(st_.params)))
+    # clip >= huber knee (1.0): same update as vanilla up to last-ulp
+    # compilation noise from the extra q_cur forward (the TPU 20M cells
+    # were exactly bitwise — XLA fuses the forwards identically there).
+    def max_diff(pa, pb):
+        return max(float(jnp.abs(a - b).max())
+                   for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)))
+
+    assert max_diff(sv.params, sk.params) < 1e-9
+    assert max_diff(sv.params, sl.params) < 1e-9
+    # clip below the knee DOES bite (orders of magnitude above ulp noise)
+    assert max_diff(sv.params, st_.params) > 1e-6
     assert np.isfinite(float(mt["loss"]))
 
 
