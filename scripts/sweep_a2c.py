@@ -25,7 +25,7 @@ from rlenv_tpu.train.trainer import train
 
 TOTAL = int(os.environ.get("SWEEP_TIMESTEPS", 10_000_000))
 N_ENVS = int(os.environ.get("SWEEP_ENVS", 512))
-OUT = "runs/a2c_sweep"
+OUT = os.environ.get("SWEEP_OUT", "runs/a2c_sweep")
 
 CONFIGS = {
     # name: (reward preset, curriculum preset, a2c config overrides

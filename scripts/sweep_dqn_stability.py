@@ -26,7 +26,7 @@ from rlenv_tpu.train.trainer import train
 
 TOTAL = int(os.environ.get("SWEEP_TIMESTEPS", 10_000_000))
 N_ENVS = int(os.environ.get("SWEEP_ENVS", 512))
-OUT = "runs/dqn_stability"
+OUT = os.environ.get("SWEEP_OUT", "runs/dqn_stability")
 
 CONFIGS = {
     "base": {},

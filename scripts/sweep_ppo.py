@@ -28,7 +28,7 @@ from rlenv_tpu.config import (CurriculumConfig, EnvConfig,
 from rlenv_tpu.train.trainer import train
 
 N_ENVS = int(os.environ.get("SWEEP_ENVS", 128))
-OUT = "runs/ppo_sweep"
+OUT = os.environ.get("SWEEP_OUT", "runs/ppo_sweep")
 
 _BASE = dict(bptt_chunk=128, compute_dtype="bfloat16", remat=False)
 
