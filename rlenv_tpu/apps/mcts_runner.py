@@ -60,8 +60,12 @@ def run_mcts(n_episodes: int = 50, n_simulations: int = 50,
         runner = load_policy(policy_path, policy_type, env_cfg)
         if leaf_value_mix > 0:
             # AlphaZero-style leaf evaluation from the same checkpoint
-            # (DQN: V = max_a Q; A2C: the critic head).
+            # (DQN: V = max_a Q; A2C: the critic head). With
+            # rollout_policy_prob > 0 the rollout phase (when mix < 1)
+            # is ALSO policy-guided — the two levers compose.
             leaf_value = value_score_fn(runner)
+            if rollout_policy_prob > 0 and leaf_value_mix < 1:
+                rollout_policy = policy_score_fn(runner)
         else:
             rollout_policy = policy_score_fn(runner)
         fused = False

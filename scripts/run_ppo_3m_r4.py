@@ -50,8 +50,8 @@ if __name__ == "__main__":
         log_dir=log_dir,
         seed=seed,
         iterations_per_chunk=1,
-        checkpoint_interval=500_000,
-        eval_interval=500_000,
+        checkpoint_interval=int(os.environ.get("PPO_CKPT_INT", 500_000)),
+        eval_interval=int(os.environ.get("PPO_EVAL_INT", 500_000)),
         n_eval_episodes=16,
         resume=False,
     )
