@@ -118,6 +118,15 @@ CONFIGS = {
                          "exploration_final_eps": 0.01, "double_q": True,
                          "target_update_interval": 100_000,
                          "lr_decay_start_fraction": 0.9},
+    # t20k was the 10M cadence optimum (87.1% final-quarter) — the 20M
+    # curve was only sampled at 50k/100k/200k; close the gap.
+    "20m_t20k": {"_total": 20_000_000, "exploration_fraction": 0.9,
+                 "exploration_final_eps": 0.01, "double_q": True,
+                 "target_update_interval": 20_000},
+    "20m_t20k_lrgate": {"_total": 20_000_000, "exploration_fraction": 0.9,
+                        "exploration_final_eps": 0.01, "double_q": True,
+                        "target_update_interval": 20_000,
+                        "lr_decay_start_fraction": 0.9},
 }
 
 

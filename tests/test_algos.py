@@ -69,11 +69,11 @@ def test_episode_stats():
 def test_a2c_train_chunk(venv):
     trainer = A2CTrainer(venv, A2CConfig(hidden_sizes=(32, 32), n_steps=4))
     state = trainer.init(jax.random.PRNGKey(0))
-    chunk = jax.jit(lambda s: trainer.train_chunk(s, 5))
+    chunk = jax.jit(lambda s: trainer.train_chunk(s, 2))
     state, metrics = chunk(state)
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["entropy"]))
-    assert int(state.stats.timesteps) == 5 * 4 * 8
+    assert int(state.stats.timesteps) == 2 * 4 * 8
     # params actually changed
     state2, _ = chunk(state)
     leaves1 = jax.tree.leaves(state.params)

@@ -82,14 +82,27 @@ def test_obs_bounds_random_maps():
                     lidar_range=4, lidar_channels=12, max_steps=50)
     env = PlantOS(cfg)
     v_reset = jax.vmap(env.reset)
-    v_step = jax.jit(jax.vmap(env.step))
     states, obs, _ = v_reset(jax.random.split(jax.random.PRNGKey(3), 16))
-    key = jax.random.PRNGKey(4)
-    for _ in range(50):
-        assert float(obs.min()) >= 0.0 and float(obs.max()) <= 1.0
-        key, k = jax.random.split(key)
-        actions = jax.random.randint(k, (16,), 0, 5)
-        states, obs, *_ = v_step(states, actions)
+    assert float(obs.min()) >= 0.0 and float(obs.max()) <= 1.0
+
+    # One jitted scan over 50 random steps, accumulating the global obs
+    # bounds on device (one transfer instead of 100 per-step fetches).
+    @jax.jit
+    def bounds_after(states, key):
+        def body(carry, _):
+            states, key, lo, hi = carry
+            key, k = jax.random.split(key)
+            actions = jax.random.randint(k, (16,), 0, 5)
+            states, obs, *_ = jax.vmap(env.step)(states, actions)
+            return (states, key, jnp.minimum(lo, obs.min()),
+                    jnp.maximum(hi, obs.max())), None
+        (states, _, lo, hi), _ = jax.lax.scan(
+            body, (states, key, jnp.float32(1.0), jnp.float32(0.0)), None,
+            length=50)
+        return lo, hi
+
+    lo, hi = bounds_after(states, jax.random.PRNGKey(4))
+    assert float(lo) >= 0.0 and float(hi) <= 1.0
 
 
 def test_plant_conservation_under_watering():

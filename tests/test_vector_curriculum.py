@@ -149,7 +149,7 @@ def test_reset_pool_bit_exact(pool, variant):
             cs, o, r, te, tr, i = venv.step(cs, a)
             return (cs, k), (o, r, te, tr)
         (cs, _), traj = jax.lax.scan(
-            body, (cstate, jax.random.PRNGKey(1)), jnp.arange(45))
+            body, (cstate, jax.random.PRNGKey(1)), jnp.arange(28))
         return cs, traj
 
     s0, traj0 = jax.jit(lambda s: rollout(v0, s))(s0)
