@@ -41,9 +41,12 @@ class MonitorWriter:
 
     def __init__(self, log_dir: str, filename: str = "env_all.monitor.csv",
                  extra_keys: tuple = ("exploration", "env"),
-                 per_env_files: int = 0):
+                 per_env_files: int = 0, append: bool = False):
         """``per_env_files=N`` additionally writes reference-style
-        ``env_{rank}.monitor.csv`` shards for the first N envs."""
+        ``env_{rank}.monitor.csv`` shards for the first N envs.
+        ``append=True`` keeps an existing CSV's rows (checkpoint-resumed
+        training continues the same episode log instead of truncating
+        it)."""
         os.makedirs(log_dir, exist_ok=True)
         self.log_dir = log_dir
         self.path = os.path.join(log_dir, filename)
@@ -54,8 +57,9 @@ class MonitorWriter:
         self._header = ("#" + json.dumps(
             {"t_start": self.t_start, "env_id": "PlantOS-v0"}) + "\n"
             + ",".join(self.HEADER_KEYS + tuple(extra_keys)) + "\n")
-        with open(self.path, "w") as f:
-            f.write(self._header)
+        if not (append and os.path.exists(self.path)):
+            with open(self.path, "w") as f:
+                f.write(self._header)
         self._env_files_created: set = set()
 
     def _env_path(self, rank: int) -> str:

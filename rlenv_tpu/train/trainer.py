@@ -215,7 +215,9 @@ def train(algo: str = "a2c",
         if verbose:
             print(f"Resumed from checkpoint step {ckpt.latest_step()}")
 
-    monitor = MonitorWriter(log_dir)
+    # On a checkpoint resume, continue the existing episode CSV instead of
+    # truncating it (the pre-resume history is part of the same run).
+    monitor = MonitorWriter(log_dir, append=resume)
     train_log = TrainingLogWriter(log_dir, eval_freq=eval_freq)
     tb = TensorBoardWriter(os.path.join(log_dir, "tensorboard"))
 
