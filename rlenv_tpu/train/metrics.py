@@ -65,6 +65,12 @@ class MonitorWriter:
     def _env_path(self, rank: int) -> str:
         return os.path.join(self.log_dir, f"env_{rank}.monitor.csv")
 
+    def mark_drained(self, pos: int) -> None:
+        """Treat episodes up to ring position ``pos`` as already written
+        (checkpoint resume: the restored stats ring holds pre-resume
+        episodes the previous process logged)."""
+        self._drained = pos
+
     def drain(self, stats: EpisodeStats) -> Dict[str, float]:
         """Append episodes finished since the last drain; returns summary."""
         pos = int(stats.log_pos)

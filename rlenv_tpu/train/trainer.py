@@ -216,8 +216,13 @@ def train(algo: str = "a2c",
             print(f"Resumed from checkpoint step {ckpt.latest_step()}")
 
     # On a checkpoint resume, continue the existing episode CSV instead of
-    # truncating it (the pre-resume history is part of the same run).
+    # truncating it (the pre-resume history is part of the same run), and
+    # mark the restored stats ring as already drained — otherwise the
+    # first post-resume drain would re-emit up to ring-capacity episodes
+    # that the pre-resume process already logged.
     monitor = MonitorWriter(log_dir, append=resume)
+    if resume:
+        monitor.mark_drained(int(state.stats.log_pos))
     train_log = TrainingLogWriter(log_dir, eval_freq=eval_freq)
     tb = TensorBoardWriter(os.path.join(log_dir, "tensorboard"))
 

@@ -172,3 +172,34 @@ def test_maze_env_mode_runs():
     for _ in range(7):  # cross a truncation boundary (auto-reset from pool)
         states, obs, *_ = step(states, jnp.zeros(6, jnp.int32))
     assert obs.shape == (6, cfg.obs_dim)
+
+
+def test_resume_appends_monitor_without_duplicates(tmp_path):
+    """Checkpoint resume continues env_all.monitor.csv (round-5 fix):
+    the pre-resume rows survive, the restored stats ring is not
+    re-drained, and total rows equal total finished episodes."""
+    from rlenv_tpu.config import A2CConfig
+    from rlenv_tpu.train.trainer import train
+
+    env_config = EnvConfig(grid_size=7, num_plants=2, num_obstacles=3,
+                           lidar_range=2, lidar_channels=4, max_steps=5)
+    log_dir = str(tmp_path / "resume")
+    kw = dict(algo="a2c", n_envs=4, env_config=env_config,
+              algo_config=A2CConfig(hidden_sizes=(16,), n_steps=5),
+              log_dir=log_dir, seed=0, iterations_per_chunk=2,
+              plot=False, verbose=False)
+    first = 5 * 4 * 2 * 2
+    _, r1 = train(total_timesteps=first, checkpoint_interval=first, **kw)
+
+    def rows():
+        with open(os.path.join(log_dir, "env_all.monitor.csv")) as f:
+            return [l for l in f
+                    if not (l.startswith("#") or l.startswith("r,"))]
+
+    rows1 = rows()
+    assert len(rows1) == r1.episodes  # every finished episode logged once
+
+    state2, r2 = train(total_timesteps=first + 5 * 4 * 2, resume=True, **kw)
+    rows2 = rows()
+    assert rows2[:len(rows1)] == rows1          # history preserved
+    assert len(rows2) == r2.episodes            # no ring re-drain
