@@ -24,10 +24,14 @@ import json
 import os
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.2")
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from rlenv_tpu.utils.jaxcache import enable_persistent_cache
+
+# jax is already imported by this box's sitecustomize, so env vars are
+# too late — jax.config.update (inside the helper) is the working form.
+enable_persistent_cache()
 
 BASELINE_STEPS_PER_SEC = 11_400.0   # BASELINE.md, derived from monitor CSVs
 NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 4096))

@@ -24,10 +24,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 # Persistent XLA compilation cache: this box has 2 weak cores and cold
 # compiles of fused env/train programs take minutes; cached reloads are
 # seconds. Lives in-repo (gitignored) so repeat test runs stay fast.
+# NOTE: configured below via jax.config.update, NOT env vars — on this
+# box sitecustomize imports jax at interpreter startup, so jax's
+# env-var-derived config is already frozen before ANY user code
+# (including this conftest) runs; the env-var form was silently a no-op
+# and every suite run recompiled every program from scratch.
 _repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(_repo_root, ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.2")
 
 # CPU only — must happen before any backend initialization. The env var
 # alone is not enough: jax was already imported (with JAX_PLATFORMS=axon)
@@ -37,6 +39,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(_repo_root, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 try:  # pragma: no cover - only present on axon-tunnel machines
     from jax._src import xla_bridge as _xb
 

@@ -1,0 +1,137 @@
+"""Policy-in-kernel actor rollout: parity in Pallas interpret mode.
+
+Two halves, each pinned exactly (see ops/actor_rollout.py docstring):
+
+* env half — replaying the actor kernel's recorded action stream through
+  the plain action-driven rollout kernel must reproduce its rewards,
+  returns and final state BIT-exactly (same transition body, same freeze
+  semantics);
+* policy half — every recorded action must equal the argmax of a
+  same-operand-order forward (``W @ x_T`` in kernel obs layout) on the
+  replayed observation stream. Same order => exact equality even in f32.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rlenv_tpu.config import A2CConfig, DQNConfig, EnvConfig
+from rlenv_tpu.env.core import PlantOS
+from rlenv_tpu.env.fused_vector import FusedVecPlantOS
+from rlenv_tpu.models import ActorCritic, QNetwork
+from rlenv_tpu.ops.actor_rollout import (actor_critic_policy_layers,
+                                         build_actor_rollout,
+                                         pack_mlp_policy,
+                                         qnet_policy_layers)
+from rlenv_tpu.ops.fused_step import build_fused_rollout
+
+B, K = 8, 10
+
+
+@pytest.fixture(scope="module")
+def qnet_run():
+    config = EnvConfig.training(max_steps=40)
+    env = PlantOS(config)
+    fenv = FusedVecPlantOS(env, B, interpret=True)
+    flat, obs0, _ = fenv.reset(jax.random.PRNGKey(0))
+    net = QNetwork(num_actions=config.num_actions, hidden_sizes=(32, 16))
+    params = net.init(jax.random.PRNGKey(1), obs0)
+    ws, bs = pack_mlp_policy(config, qnet_policy_layers(params))
+    actor = build_actor_rollout(config, B, K, n_layers=len(ws),
+                                activation="relu", interpret=True)
+    out = jax.jit(actor)(flat, obs0, ws, bs)
+    return config, flat, obs0, ws, bs, out
+
+
+def _same_order_forward(config, obs_ref, ws, bs, activation):
+    """Reference-layout obs -> greedy action, SAME operand order as the
+    kernel (scatter to kernel layout, then W @ x_T)."""
+    from rlenv_tpu.ops.fused_step import _lane_pad, _obs_permutation
+    perm = _obs_permutation(config)
+    act = jnp.tanh if activation == "tanh" else \
+        (lambda v: jnp.maximum(v, 0.0))
+    x = jnp.zeros((obs_ref.shape[0], _lane_pad(config.obs_dim))
+                  ).at[:, perm].set(obs_ref).T
+    for i in range(len(ws) - 1):
+        x = act(jnp.dot(ws[i], x) + bs[i])
+    logits = jnp.dot(ws[-1], x) + bs[-1]
+    row = jnp.arange(logits.shape[0])[:, None]
+    logits = jnp.where(row < config.num_actions, logits, -jnp.inf)
+    return jnp.argmax(logits, axis=0)
+
+
+def test_actor_rollout_env_half_replay_parity(qnet_run):
+    config, flat, obs0, ws, bs, out = qnet_run
+    flat2, last_obs, ret, actions, rewards = out
+    rollout = jax.jit(build_fused_rollout(config, B, K, interpret=True))
+    flat3, obs_seq, rew2, term2, trunc2, water2 = rollout(flat, actions)
+    np.testing.assert_array_equal(np.asarray(rewards), np.asarray(rew2))
+    np.testing.assert_array_equal(np.asarray(flat2.rolled),
+                                  np.asarray(flat3.rolled))
+    np.testing.assert_array_equal(np.asarray(flat2.scal),
+                                  np.asarray(flat3.scal))
+    np.testing.assert_allclose(np.asarray(ret),
+                               np.asarray(rew2).sum(0), rtol=1e-6)
+    # the resident last-obs block equals the replayed final observation
+    np.testing.assert_array_equal(np.asarray(last_obs),
+                                  np.asarray(obs_seq[-1]))
+
+
+def test_actor_rollout_policy_half_argmax_parity(qnet_run):
+    config, flat, obs0, ws, bs, out = qnet_run
+    _, _, _, actions, _ = out
+    rollout = jax.jit(build_fused_rollout(config, B, K, interpret=True))
+    _, obs_seq, *_ = rollout(flat, actions)
+    obs_prev = np.concatenate([np.asarray(obs0)[None],
+                               np.asarray(obs_seq)[:-1]])
+    fwd = jax.jit(lambda o: _same_order_forward(config, o, ws, bs, "relu"))
+    for k in range(K):
+        np.testing.assert_array_equal(
+            np.asarray(actions)[k], np.asarray(fwd(jnp.asarray(obs_prev[k]))),
+            err_msg=f"step {k}")
+
+
+def test_actor_rollout_actor_critic_tanh():
+    """ActorCritic pi-tower extraction drives the kernel (tanh path)."""
+    config = EnvConfig.training(max_steps=40)
+    env = PlantOS(config)
+    fenv = FusedVecPlantOS(env, B, interpret=True)
+    flat, obs0, _ = fenv.reset(jax.random.PRNGKey(5))
+    net = ActorCritic(num_actions=config.num_actions, hidden_sizes=(16,))
+    params = net.init(jax.random.PRNGKey(6), obs0)
+    ws, bs = pack_mlp_policy(config, actor_critic_policy_layers(params))
+    actor = build_actor_rollout(config, B, 4, n_layers=len(ws),
+                                activation="tanh", interpret=True)
+    _, _, ret, actions, rewards = jax.jit(actor)(flat, obs0, ws, bs)
+    # greedy head of the flax forward, step 0 (same obs both sides)
+    logits, _ = net.apply(params, obs0)
+    a0 = np.asarray(jnp.argmax(logits, axis=-1))
+    got = np.asarray(actions)[0]
+    # f32 summation order differs from flax's x @ W here, so allow
+    # knife-edge ties to flip only where the top-2 gap is ~eps
+    gap = np.sort(np.asarray(logits), axis=-1)
+    knife = (gap[:, -1] - gap[:, -2]) < 1e-5
+    np.testing.assert_array_equal(got[~knife], a0[~knife])
+    assert np.isfinite(np.asarray(ret)).all()
+
+
+def test_fused_eval_fn_contract():
+    """make_fused_eval_fn: deterministic, width-padded, finite returns."""
+    from rlenv_tpu.train.trainer import (make_fused_eval_fn, make_trainer,
+                                         make_venv)
+    env_config = EnvConfig.training(max_steps=8)
+    venv = make_venv(env_config, 8, use_curriculum=False, fused=False)
+    trainer = make_trainer("dqn", venv, DQNConfig(hidden_sizes=(16,),
+                                                  buffer_size=256))
+    state = jax.jit(trainer.init)(jax.random.PRNGKey(0))
+    eval_fn = make_fused_eval_fn(trainer, env_config, n_eval_episodes=5,
+                                 use_curriculum=True, interpret=True)
+    r1 = np.asarray(eval_fn(state.params, jnp.int32(7)))
+    r2 = np.asarray(eval_fn(state.params, jnp.int32(7)))
+    assert r1.shape == (8,)  # padded up to a lane-friendly width
+    np.testing.assert_array_equal(r1, r2)
+    assert np.isfinite(r1).all()
+    # a different seed evaluates different episodes
+    r3 = np.asarray(eval_fn(state.params, jnp.int32(8)))
+    assert not np.array_equal(r1, r3)
