@@ -86,7 +86,7 @@ class MCTSPlanner:
 
     def __init__(self, env: PlantOS, config: MCTSConfig = MCTSConfig(),
                  interpret: bool | None = None, rollout_policy=None,
-                 leaf_value=None):
+                 leaf_value=None, rollout_policy_layers=None):
         """``rollout_policy``: optional trained prior for the rollout phase
         — a pure fn ``obs[obs_dim] -> scores[num_actions]`` (e.g. a trained
         Q-network's values or an actor's logits; build one from a saved
@@ -102,13 +102,22 @@ class MCTSPlanner:
         evaluation: the backup becomes ``(1-mix)*rollout + mix*V(leaf)``
         with ``mix = config.leaf_value_mix``; at mix=1.0 the rollout phase
         is skipped entirely (pure value bootstrap — ~max_depth× fewer env
-        steps per simulation). The fused Pallas search path keeps the
-        in-kernel reference semantics (guided/value search goes through
-        ``search_batch``)."""
+        steps per simulation).
+
+        ``rollout_policy_layers``: ``([(kernel, bias), ...], activation)``
+        — the prior's RAW flax MLP stack (trunk + action head; extract
+        with :func:`rlenv_tpu.ops.actor_rollout.qnet_policy_layers` /
+        ``actor_critic_policy_layers``). When set, the FUSED search
+        (:meth:`search_batch_fused`) evaluates the prior INSIDE the
+        rollout kernel (round 5) — the guided search at fused-kernel
+        speed; ``leaf_value`` composes with it there too (the kernel
+        emits the leaf observation). Without it, guided/value search
+        uses the XLA ``search_batch`` path."""
         self.env = env
         self.config = config
         self.rollout_policy = rollout_policy
         self.leaf_value = leaf_value
+        self.rollout_policy_layers = rollout_policy_layers
         self._deltas = jnp.asarray(_ACTION_DELTAS[:4])
         # jit-compiled batched search: (EnvState batch, keys[B]) -> actions[B]
         self.search_batch = jax.jit(jax.vmap(self.search))
@@ -336,10 +345,28 @@ class MCTSPlanner:
                              or "tpu" in dev.device_kind.lower())
         step = build_fused_step(env.config, B, block_envs=min(256, B),
                                 interpret=interpret)
+        # Guided rollouts / leaf values run IN the fused path (round 5):
+        # the rollout kernel evaluates the prior's MLP on the in-kernel
+        # observation, and emits the leaf observation for the value mix.
+        guided = self.rollout_policy_layers is not None
+        use_leaf = self.leaf_value is not None and cfg.leaf_value_mix > 0
+        if guided:
+            from rlenv_tpu.ops.actor_rollout import pack_mlp_policy
+            layers, activation = self.rollout_policy_layers
+            g_ws, g_bs = pack_mlp_policy(env.config, layers)
+        else:
+            g_ws, g_bs, activation = (), (), "relu"
         roll = build_mcts_rollout(
             env.config, B, K, heuristic_prob=cfg.rollout_heuristic_prob,
             completion_bonus=cfg.completion_bonus,
-            block_envs=min(256, B), interpret=interpret)
+            block_envs=min(256, B), interpret=interpret,
+            guided_layers=len(g_ws),
+            guided_prob=cfg.rollout_policy_prob if guided else 0.0,
+            guided_activation=activation,
+            emit_leaf_obs=use_leaf)
+        n_rand = 4 if guided else 3
+        v_leaf = (jax.vmap(self.leaf_value) if use_leaf else None)
+        mix = cfg.leaf_value_mix if use_leaf else 0.0
         bidx = jnp.arange(B)
 
         def select_flat(mask, new, old):
@@ -388,7 +415,7 @@ class MCTSPlanner:
                 tree, key = carry
                 key, k_exp, k_roll = jax.random.split(key, 3)
                 rand = jax.lax.bitcast_convert_type(
-                    jax.random.bits(k_roll, (K, 3, B), jnp.uint32),
+                    jax.random.bits(k_roll, (K, n_rand, B), jnp.uint32),
                     jnp.int32)
 
                 # --- SELECTION (tree fixed; all B lanes masked) ---
@@ -443,8 +470,25 @@ class MCTSPlanner:
                     count=tree["count"] + can.astype(jnp.int32))
                 node = jnp.where(can, new_idx, node)
 
-                # --- ROLLOUT: one Pallas program for the whole phase ---
-                returns = roll(flat, depth, rand)          # [B] f32
+                # --- ROLLOUT: one Pallas program for the whole phase
+                # (policy-guided in-kernel when a prior is set) ---
+                if use_leaf:
+                    returns, leaf_obs = roll(flat, depth, rand, g_ws, g_bs)
+                    leaf_v = v_leaf(leaf_obs)              # [B] f32
+                    if mix >= 1.0:
+                        # Pure value bootstrap (XLA-path semantics): the
+                        # +500 rollout bonus applies when the LEAF itself
+                        # is fully explored.
+                        from rlenv_tpu.ops.fused_step import (_SC_EXPLORED,
+                                                              _SC_FREE)
+                        fully = (flat.scal[:, _SC_EXPLORED]
+                                 >= flat.scal[:, _SC_FREE])
+                        returns = leaf_v + jnp.where(
+                            fully, cfg.completion_bonus, 0.0)
+                    else:
+                        returns = (1.0 - mix) * returns + mix * leaf_v
+                else:
+                    returns = roll(flat, depth, rand, g_ws, g_bs)  # [B]
 
                 # --- BACKPROP ---
                 def bp_cond(c):

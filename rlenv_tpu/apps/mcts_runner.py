@@ -44,8 +44,9 @@ def run_mcts(n_episodes: int = 50, n_simulations: int = 50,
 
     ``policy_path``: load a trained DQN/A2C checkpoint as the rollout
     prior (policy-guided rollouts; see ``MCTSPlanner.rollout_policy``).
-    Guided search runs through the XLA path, so ``fused`` is ignored
-    when a policy is set."""
+    With ``fused`` the prior runs INSIDE the rollout kernel and the
+    leaf value mixes off the kernel-emitted leaf observation (round 5);
+    without it, guided search uses the XLA ``search_batch`` path."""
     if save_dir:
         os.makedirs(save_dir, exist_ok=True)
     env_cfg = EnvConfig(grid_size=grid_size, num_plants=num_plants,
@@ -54,21 +55,34 @@ def run_mcts(n_episodes: int = 50, n_simulations: int = 50,
     env = PlantOS(env_cfg)
     rollout_policy = None
     leaf_value = None
+    rollout_policy_layers = None
     if policy_path:
         from rlenv_tpu.algos.mcts import policy_score_fn, value_score_fn
         from rlenv_tpu.apps.policies import load_policy
         runner = load_policy(policy_path, policy_type, env_cfg)
+        want_prior = rollout_policy_prob > 0 and leaf_value_mix < 1
         if leaf_value_mix > 0:
             # AlphaZero-style leaf evaluation from the same checkpoint
             # (DQN: V = max_a Q; A2C: the critic head). With
             # rollout_policy_prob > 0 the rollout phase (when mix < 1)
             # is ALSO policy-guided — the two levers compose.
             leaf_value = value_score_fn(runner)
-            if rollout_policy_prob > 0 and leaf_value_mix < 1:
+            if want_prior:
                 rollout_policy = policy_score_fn(runner)
         else:
             rollout_policy = policy_score_fn(runner)
-        fused = False
+            want_prior = rollout_policy_prob > 0
+        if fused and want_prior:
+            # Raw MLP stack for the in-kernel prior (round 5).
+            from rlenv_tpu.ops.actor_rollout import (
+                actor_critic_policy_layers, qnet_policy_layers)
+            if runner.model_type == "dqn":
+                rollout_policy_layers = (qnet_policy_layers(runner.params),
+                                         "relu")
+            else:
+                rollout_policy_layers = (
+                    actor_critic_policy_layers(runner.params),
+                    runner.model.activation)
     planner = MCTSPlanner(env, MCTSConfig(n_simulations=n_simulations,
                                           max_depth=max_depth,
                                           max_nodes=max(n_simulations + 8,
@@ -77,7 +91,8 @@ def run_mcts(n_episodes: int = 50, n_simulations: int = 50,
                                           rollout_policy_prob,
                                           leaf_value_mix=leaf_value_mix),
                           rollout_policy=rollout_policy,
-                          leaf_value=leaf_value)
+                          leaf_value=leaf_value,
+                          rollout_policy_layers=rollout_policy_layers)
     v_step = jax.jit(jax.vmap(env.step))
     horizon = max_episode_steps or env_cfg.max_steps
 

@@ -463,6 +463,58 @@ def _make_transition(config: EnvConfig, Bb: int):
     return transition
 
 
+def _obs_rows_t(grid, tx, ty, pdx_all, pdy_all, vdx, vdy, sel,
+                g: int, C: int, Rr: int, V: int, OBS_PAD: int):
+    """Transposed-layout observation assembly from a rover-centric grid.
+
+    ``grid`` int32[L, Bb] with the rover at sublane 0 and ``tx``/``ty``
+    int32[1, Bb] its absolute position. Shared by the rollout/actor
+    kernels' post-step observation and the guided-MCTS kernel's
+    PRE-step observation (same math either way — the observation is a
+    pure function of (grid, position)). Returns float32[OBS_PAD, Bb] in
+    the kernel's component-major column order (see
+    :func:`_obs_permutation`)."""
+    Bb = grid.shape[1]
+    # One MXU matmul gathers every probe; raw-visit bits masked off so
+    # the bf16 pass is exact (cells <= 127).
+    probes = jnp.dot(sel.astype(jnp.bfloat16),
+                     (grid & 0x7F).astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    probes = probes.astype(jnp.int32)                  # [PCOL, Bb]
+
+    # First-hit fold, far -> near (`plantos_env_new.py:282-305`).
+    dist = jnp.full((C, Bb), Rr, jnp.int32)
+    etype = jnp.zeros((C, Bb), jnp.int32)
+    for r in range(Rr - 1, -1, -1):
+        pdx = pdx_all[:, r:r + 1]                      # [C, 1]
+        pdy = pdy_all[:, r:r + 1]
+        px, py = tx + pdx, ty + pdy                    # [C, Bb]
+        oob = (px < 0) | (px >= g) | (py < 0) | (py >= g)
+        ev = probes[r * C:(r + 1) * C, :] & _ENT_MASK  # [C, Bb]
+        val = jnp.where(oob, ENTITY_OBSTACLE, ev)
+        hit = val > 0
+        dist = jnp.where(hit, r + 1, dist)
+        etype = jnp.where(hit, val, etype)
+
+    # Visit window (`plantos_env_new.py:317-328`): OOB reads 1.0.
+    vx, vy = tx + vdx, ty + vdy                        # [V, Bb]
+    v_oob = (vx < 0) | (vx >= g) | (vy < 0) | (vy >= g)
+    vcounts = (probes[Rr * C:Rr * C + V, :] >> _VIS_SHIFT) & 15
+    visit_map = jnp.where(v_oob, 1.0, vcounts.astype(jnp.float32) / 10.0)
+
+    return jnp.concatenate([
+        dist.astype(jnp.float32) / Rr,                 # [C, Bb]
+        (etype == 0).astype(jnp.float32),
+        (etype == 1).astype(jnp.float32),
+        (etype == 2).astype(jnp.float32),
+        (etype == 3).astype(jnp.float32),
+        tx.astype(jnp.float32) / g,
+        ty.astype(jnp.float32) / g,
+        visit_map,
+        jnp.zeros((OBS_PAD - (5 * C + 2 + V), Bb), jnp.float32),
+    ], axis=0)                                         # [OBS_PAD, Bb]
+
+
 def _make_transition_t(config: EnvConfig, Bb: int):
     """Transposed-layout transition for the chunked rollout kernel.
 
@@ -579,45 +631,10 @@ def _make_transition_t(config: EnvConfig, Bb: int):
         terminated = fully
         truncated = step_count >= max_steps
 
-        # --- observation probes: one MXU matmul, contraction over the
-        # grid (sublane) dim; raw-visit bits masked off first so the bf16
-        # MXU pass is exact (see _make_transition) ---
-        probes = jnp.dot(sel.astype(jnp.bfloat16),
-                         (new_rolled & 0x7F).astype(jnp.bfloat16),
-                         preferred_element_type=jnp.float32)
-        probes = probes.astype(jnp.int32)                  # [PCOL, Bb]
-
-        # First-hit fold, far -> near (`plantos_env_new.py:282-305`).
-        dist = jnp.full((C, Bb), Rr, jnp.int32)
-        etype = jnp.zeros((C, Bb), jnp.int32)
-        for r in range(Rr - 1, -1, -1):
-            pdx = pdx_all[:, r:r + 1]                      # [C, 1]
-            pdy = pdy_all[:, r:r + 1]
-            px, py = tx + pdx, ty + pdy                    # [C, Bb]
-            oob = (px < 0) | (px >= g) | (py < 0) | (py >= g)
-            ev = probes[r * C:(r + 1) * C, :] & _ENT_MASK  # [C, Bb]
-            val = jnp.where(oob, ENTITY_OBSTACLE, ev)
-            hit = val > 0
-            dist = jnp.where(hit, r + 1, dist)
-            etype = jnp.where(hit, val, etype)
-
-        # Visit window (`plantos_env_new.py:317-328`): OOB reads 1.0.
-        vx, vy = tx + vdx, ty + vdy                        # [V, Bb]
-        v_oob = (vx < 0) | (vx >= g) | (vy < 0) | (vy >= g)
-        vcounts = (probes[Rr * C:Rr * C + V, :] >> _VIS_SHIFT) & 15
-        visit_map = jnp.where(v_oob, 1.0, vcounts.astype(jnp.float32) / 10.0)
-
-        obs = jnp.concatenate([
-            dist.astype(jnp.float32) / Rr,                 # [C, Bb]
-            (etype == 0).astype(jnp.float32),
-            (etype == 1).astype(jnp.float32),
-            (etype == 2).astype(jnp.float32),
-            (etype == 3).astype(jnp.float32),
-            tx.astype(jnp.float32) / g,
-            ty.astype(jnp.float32) / g,
-            visit_map,
-            jnp.zeros((OBS_PAD - (5 * C + 2 + V), Bb), jnp.float32),
-        ], axis=0)                                         # [OBS_PAD, Bb]
+        # --- observation: one MXU probe matmul + first-hit fold + visit
+        # window, shared with the guided-MCTS kernel (_obs_rows_t) ---
+        obs = _obs_rows_t(new_rolled, tx, ty, pdx_all, pdy_all, vdx, vdy,
+                          sel, g, C, Rr, V, OBS_PAD)
 
         zeros = jnp.zeros_like(tx)
         new_sc = jnp.concatenate([

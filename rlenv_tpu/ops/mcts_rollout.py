@@ -219,7 +219,10 @@ def _make_rollout_transition_t(config: EnvConfig):
 def build_mcts_rollout(config: EnvConfig, num_envs: int, max_depth: int,
                        heuristic_prob: float = 0.7,
                        completion_bonus: float = 500.0,
-                       block_envs: int = 256, interpret: bool = False):
+                       block_envs: int = 256, interpret: bool = False,
+                       guided_layers: int = 0, guided_prob: float = 0.0,
+                       guided_activation: str = "relu",
+                       emit_leaf_obs: bool = False):
     """Returns ``rollout(flat, d0, rand_bits) -> returns`` running the whole
     MCTS rollout phase as one Pallas program.
 
@@ -230,21 +233,66 @@ def build_mcts_rollout(config: EnvConfig, num_envs: int, max_depth: int,
       the rollout runs ``max_depth - d0`` steps, `mcts_custom_trainer.py:
       139-166`).
     * ``rand_bits`` — int32[max_depth, 3, B] streamed randomness (see
-      module docstring).
+      module docstring); [max_depth, 4, B] when guided (row 3 = the
+      policy-vs-base draw, mirroring ``_rollout_action``'s ``k_pol``).
     * ``returns`` — float32[B] accumulated rollout return incl. the
       full-exploration completion bonus.
+
+    **Guided rollouts in-kernel** (round 5): with ``guided_layers = n``
+    (trunk depth + head, :func:`rlenv_tpu.ops.actor_rollout
+    .pack_mlp_policy` layout) the call becomes ``rollout(flat, d0,
+    rand_bits, ws, bs)`` and each step computes the CURRENT state's
+    107-dim observation in-kernel (the same `_obs_rows_t` the step
+    kernels use — one MXU probe matmul) and takes the policy's greedy
+    action with probability ``guided_prob`` instead of the 70/30 base
+    draw — the `MCTSPlanner(rollout_policy=...)` semantics
+    (`algos/mcts.py`) at fused-kernel speed.
+
+    **Leaf observation** (round 5): ``emit_leaf_obs=True`` additionally
+    returns ``(returns, leaf_obs[B, obs_dim])`` — the observation of the
+    state the rollout STARTED from (computed at grid step 0, reference
+    layout), which is exactly what AlphaZero-style leaf evaluation
+    (``MCTSPlanner(leaf_value=...)``) needs: the caller mixes
+    ``V(leaf_obs)`` into the backup without a second obs pass.
     """
     from jax.experimental import pallas as pl
 
+    from rlenv_tpu.ops.fused_step import (_obs_permutation, _obs_rows_t,
+                                          _probe_selector)
+
     g = config.grid_size
+    C = config.lidar_channels
+    Rr = config.lidar_range
+    V = config.visit_map_size ** 2
+    OBS_PAD = _lane_pad(config.obs_dim)
     L = _lane_pad(g * g)
     K = int(max_depth)
     Bb = _block_envs_for(num_envs, block_envs)
     n_blocks = num_envs // Bb
     transition = _make_rollout_transition_t(config)
+    guided = guided_layers > 0
+    need_obs = guided or emit_leaf_obs
+    n_rand = 4 if guided else 3
+    act_fn = jnp.tanh if guided_activation == "tanh" else \
+        (lambda x: jnp.maximum(x, 0.0))
+    n_act = config.num_actions
+    if need_obs:
+        lid, vis, sel_np = _probe_selector(C, Rr, config.visit_map_size,
+                                           g, L)
+        PCOL = sel_np.shape[1]
+        perm = _obs_permutation(config)
 
-    def kernel(rolled_ref, scal_ref, rand_ref,
-               rolled_out, scal_out, ret_out):
+    def kernel(*refs):
+        rolled_ref, scal_ref, rand_ref = refs[:3]
+        at = 3
+        if need_obs:
+            pdx_ref, pdy_ref, vdx_ref, vdy_ref, sel_ref = refs[at:at + 5]
+            at += 5
+        w_refs = refs[at:at + guided_layers]
+        b_refs = refs[at + guided_layers:at + 2 * guided_layers]
+        at += 2 * guided_layers
+        rolled_out, scal_out, ret_out = refs[at:at + 3]
+        leaf_obs_out = refs[at + 3] if emit_leaf_obs else None
         k = pl.program_id(1)
 
         @pl.when(k == 0)
@@ -255,14 +303,56 @@ def build_mcts_rollout(config: EnvConfig, num_envs: int, max_depth: int,
 
         rolled = rolled_out[:]                       # [L, Bb]
         sc = scal_out[:]                             # [SC, Bb]
-        r = rand_ref[0]                              # [3, Bb]
+        r = rand_ref[0]                              # [n_rand, Bb]
         r0, r1, r2 = r[0:1, :], r[1:2, :], r[2:3, :]
 
         d = sc[_SC_ROLLD:_SC_ROLLD + 1, :]
         done_l = sc[_SC_DONE:_SC_DONE + 1, :] > 0
         active = (d < K) & ~done_l
 
+        obs = None
+        if need_obs and (guided or emit_leaf_obs):
+            # Observation of the CURRENT state (pure fn of grid+position).
+            compute_every_step = guided
+            if compute_every_step:
+                obs = _obs_rows_t(rolled, sc[_SC_RX:_SC_RX + 1, :],
+                                  sc[_SC_RY:_SC_RY + 1, :],
+                                  pdx_ref[:], pdy_ref[:], vdx_ref[:],
+                                  vdy_ref[:], sel_ref[:],
+                                  g, C, Rr, V, OBS_PAD)
+                if emit_leaf_obs:
+                    @pl.when(k == 0)
+                    def _leaf():
+                        leaf_obs_out[:] = obs
+            else:
+                # leaf obs only: one probe pass at grid step 0
+                @pl.when(k == 0)
+                def _leaf():
+                    leaf_obs_out[:] = _obs_rows_t(
+                        rolled, sc[_SC_RX:_SC_RX + 1, :],
+                        sc[_SC_RY:_SC_RY + 1, :],
+                        pdx_ref[:], pdy_ref[:], vdx_ref[:], vdy_ref[:],
+                        sel_ref[:], g, C, Rr, V, OBS_PAD)
+
         a = _policy_rows(rolled, sc, r0, r1, r2, g, heuristic_prob)
+        if guided:
+            x = obs
+            for i in range(guided_layers - 1):
+                x = act_fn(jnp.dot(w_refs[i][:], x,
+                                   preferred_element_type=jnp.float32)
+                           + b_refs[i][:])
+            logits = (jnp.dot(w_refs[-1][:], x,
+                              preferred_element_type=jnp.float32)
+                      + b_refs[-1][:])
+            row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+            logits = jnp.where(row < n_act, logits, -jnp.inf)
+            top = jnp.max(logits, axis=0, keepdims=True)
+            pol = jnp.min(jnp.where(logits == top, row, logits.shape[0]),
+                          axis=0, keepdims=True)       # first-max argmax
+            r3 = r[3:4, :]
+            thresh_p = jnp.int32(int(guided_prob * (2**31 - 1)))
+            use_pol = (r3 & 0x7FFFFFFF) < thresh_p
+            a = jnp.where(use_pol, pol, a).astype(jnp.int32)
         new_rolled, new_sc, reward, term, trunc = transition(rolled, sc, a)
 
         # Completion bonus: episode ends with exploration at 100%
@@ -294,28 +384,63 @@ def build_mcts_rollout(config: EnvConfig, num_envs: int, max_depth: int,
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024)
 
-    pallas_rollout = pl.pallas_call(
-        kernel,
-        compiler_params=compiler_params,
-        grid=(n_blocks, K),
-        in_specs=[state_spec(L), state_spec(_SC_COLS), time_spec(3)],
-        out_specs=[state_spec(L), state_spec(_SC_COLS), state_spec(1)],
-        out_shape=[
-            jax.ShapeDtypeStruct((L, num_envs), jnp.int32),
-            jax.ShapeDtypeStruct((_SC_COLS, num_envs), jnp.int32),
-            jax.ShapeDtypeStruct((1, num_envs), jnp.float32),
-        ],
-        interpret=interpret,
-    )
+    def const_spec(rows, cols):
+        return pl.BlockSpec((rows, cols), lambda i, k: (0, 0))
+
+    in_specs = [state_spec(L), state_spec(_SC_COLS), time_spec(n_rand)]
+    out_specs = [state_spec(L), state_spec(_SC_COLS), state_spec(1)]
+    out_shape = [
+        jax.ShapeDtypeStruct((L, num_envs), jnp.int32),
+        jax.ShapeDtypeStruct((_SC_COLS, num_envs), jnp.int32),
+        jax.ShapeDtypeStruct((1, num_envs), jnp.float32),
+    ]
+    if need_obs:
+        in_specs += [const_spec(C, Rr), const_spec(C, Rr),
+                     const_spec(V, 1), const_spec(V, 1),
+                     const_spec(PCOL, L)]
+    if emit_leaf_obs:
+        out_specs.append(state_spec(OBS_PAD))
+        out_shape.append(
+            jax.ShapeDtypeStruct((OBS_PAD, num_envs), jnp.float32))
+
+    def make_call(w_shapes):
+        specs = list(in_specs)
+        specs += [const_spec(s[0], s[1]) for s in w_shapes]
+        specs += [const_spec(s[0], 1) for s in w_shapes]
+        return pl.pallas_call(
+            kernel,
+            compiler_params=compiler_params,
+            grid=(n_blocks, K),
+            in_specs=specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )
+
+    if need_obs:
+        pdx_j = jnp.asarray(lid[:, :, 0].copy())           # [C, R]
+        pdy_j = jnp.asarray(lid[:, :, 1].copy())
+        vdx_j = jnp.asarray(vis[:, 0][:, None].copy())     # [V, 1]
+        vdy_j = jnp.asarray(vis[:, 1][:, None].copy())
+        sel_j = jnp.asarray(sel_np.T.copy())               # [PCOL, L]
+        perm_j = jnp.asarray(perm)
 
     def rollout(flat: FlatEnvState, d0: jnp.ndarray,
-                rand_bits: jnp.ndarray) -> jnp.ndarray:
+                rand_bits: jnp.ndarray, ws=(), bs=()):
+        assert len(ws) == guided_layers and len(bs) == guided_layers
         scal = flat.scal.at[:, _SC_DONE].set(0)
         scal = scal.at[:, _SC_ROLLD].set(d0.astype(jnp.int32))
-        _, _, ret = pallas_rollout(
-            flat.rolled.T, scal.T,
-            rand_bits.astype(jnp.int32).reshape(K, 3, num_envs))
-        return ret[0]
+        args = [flat.rolled.T, scal.T,
+                rand_bits.astype(jnp.int32).reshape(K, n_rand, num_envs)]
+        if need_obs:
+            args += [pdx_j, pdy_j, vdx_j, vdy_j, sel_j]
+        args += list(ws) + list(bs)
+        out = make_call([w.shape for w in ws])(*args)
+        ret = out[2][0]
+        if emit_leaf_obs:
+            leaf_obs = jnp.take(out[3], perm_j, axis=0).T  # [B, obs_dim]
+            return ret, leaf_obs
+        return ret
 
     return rollout
 
@@ -323,16 +448,47 @@ def build_mcts_rollout(config: EnvConfig, num_envs: int, max_depth: int,
 def rollout_returns_xla(env, state: EnvState, d0: jnp.ndarray,
                         rand_bits: jnp.ndarray, max_depth: int,
                         heuristic_prob: float = 0.7,
-                        completion_bonus: float = 500.0) -> jnp.ndarray:
+                        completion_bonus: float = 500.0,
+                        guided_ws=(), guided_bs=(),
+                        guided_prob: float = 0.0,
+                        guided_activation: str = "relu") -> jnp.ndarray:
     """XLA mirror of :func:`build_mcts_rollout` on a batched
     :class:`EnvState` — the independent parity oracle (it goes through
     ``PlantOS.step``, not the packed-grid transition). Consumes the SAME
     streamed random bits with the SAME integer arithmetic, and accumulates
     rewards in the same order, so its float32 returns are bit-identical
-    to the kernel's."""
+    to the kernel's.
+
+    With ``guided_ws/guided_bs`` (:func:`rlenv_tpu.ops.actor_rollout
+    .pack_mlp_policy` layout) it mirrors the guided kernel too: the
+    observation comes from ``env.observe`` (bit-identical to the
+    in-kernel probe path, as the step-kernel parity suite proves) and
+    the greedy forward uses the SAME operand order (``W @ x_T`` on the
+    kernel-layout obs), so guided actions also match bit-exactly."""
     g = env.config.grid_size
     B = state.rover.shape[0]
     deltas = jnp.asarray([[-1, 0], [0, 1], [1, 0], [0, -1]], jnp.int32)
+    guided = len(guided_ws) > 0
+    if guided:
+        from rlenv_tpu.ops.fused_step import _lane_pad, _obs_permutation
+        perm_g = jnp.asarray(_obs_permutation(env.config))
+        obs_pad = _lane_pad(env.config.obs_dim)
+        act_fn = jnp.tanh if guided_activation == "tanh" else \
+            (lambda v: jnp.maximum(v, 0.0))
+        v_observe = jax.vmap(env.observe)
+
+        def greedy(s: EnvState):
+            obs_ref = v_observe(s)                          # [B, obs_dim]
+            x = jnp.zeros((B, obs_pad)).at[:, perm_g].set(obs_ref).T
+            for i in range(len(guided_ws) - 1):
+                x = act_fn(jnp.dot(guided_ws[i], x) + guided_bs[i])
+            logits = jnp.dot(guided_ws[-1], x) + guided_bs[-1]
+            row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+            logits = jnp.where(row < env.config.num_actions, logits,
+                               -jnp.inf)
+            top = jnp.max(logits, axis=0, keepdims=True)
+            return jnp.min(jnp.where(logits == top, row, logits.shape[0]),
+                           axis=0)                          # [B]
 
     def policy(s: EnvState, r0, r1, r2):
         nb = s.rover[:, None, :] + deltas[None, :, :]          # [B, 4, 2]
@@ -362,6 +518,11 @@ def rollout_returns_xla(env, state: EnvState, d0: jnp.ndarray,
         s, d, done, ret = carry
         active = (d < max_depth) & ~done
         a = policy(s, r[0], r[1], r[2])
+        if guided:
+            pol = greedy(s).astype(jnp.int32)
+            thresh_p = jnp.int32(int(guided_prob * (2**31 - 1)))
+            use_pol = (r[3] & 0x7FFFFFFF) < thresh_p
+            a = jnp.where(use_pol, pol, a)
         ns, _, reward, term, trunc, _ = v_step(s, a)
         step_ret = jnp.where(
             active, reward + jnp.where(term, completion_bonus, 0.0), 0.0)

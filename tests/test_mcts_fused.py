@@ -131,3 +131,78 @@ def test_policy_guided_rollouts():
     np.testing.assert_array_equal(a_guided, a_guided2)  # deterministic
     assert ((a_guided >= 0) & (a_guided < 5)).all()
     assert not np.array_equal(a_plain, a_guided)  # the prior mattered
+
+
+def test_guided_rollout_kernel_matches_xla_mirror():
+    """Policy-guided rollout kernel (prior MLP evaluated in-kernel on the
+    in-kernel observation, round 5) == extended XLA mirror, bitwise; the
+    emitted leaf observation equals ``env.observe`` of the start state."""
+    from rlenv_tpu.models import QNetwork
+    from rlenv_tpu.ops.actor_rollout import (pack_mlp_policy,
+                                             qnet_policy_layers)
+
+    cfg = EnvConfig(grid_size=7, num_plants=2, num_obstacles=3,
+                    lidar_range=2, lidar_channels=4, max_steps=30)
+    env = PlantOS(cfg)
+    B, K = 8, 10
+    states = _reset_batch(env, B, seed=3)
+    flat = pack_state(states, cfg.grid_size)
+    obs = jax.vmap(env.observe)(states)
+    net = QNetwork(num_actions=5, hidden_sizes=(16,))
+    params = net.init(jax.random.PRNGKey(1), obs)
+    ws, bs = pack_mlp_policy(cfg, qnet_policy_layers(params))
+    d0 = jnp.asarray([0, 1, 3, 0, 5, 0, 10, 2], jnp.int32)
+    rand = jax.lax.bitcast_convert_type(
+        jax.random.bits(jax.random.PRNGKey(7), (K, 4, B), jnp.uint32),
+        jnp.int32)
+
+    kernel = build_mcts_rollout(cfg, B, K, guided_layers=len(ws),
+                                guided_prob=0.8, emit_leaf_obs=True,
+                                interpret=True, block_envs=B)
+    got, leaf_obs = jax.jit(
+        lambda f, d, r, w, b: kernel(f, d, r, w, b))(flat, d0, rand, ws, bs)
+    want = jax.jit(lambda s, d, r: rollout_returns_xla(
+        env, s, d, r, K, guided_ws=ws, guided_bs=bs, guided_prob=0.8)
+    )(states, d0, rand)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # compare under jit on both sides: XLA rewrites the position
+    # normalization's divide-by-constant to multiply-by-reciprocal
+    # inside compiled programs, so EAGER env.observe differs in the
+    # last ulp of x/g (every production consumer is jitted)
+    obs_jit = jax.jit(jax.vmap(env.observe))(states)
+    np.testing.assert_array_equal(np.asarray(leaf_obs),
+                                  np.asarray(obs_jit))
+
+
+def test_fused_search_guided_with_leaf_value():
+    """The fused search runs the prior in-kernel and mixes the leaf value
+    off the kernel-emitted observation: deterministic, valid actions, and
+    the prior/value change the decision vs the plain fused search."""
+    from rlenv_tpu.models import QNetwork
+    from rlenv_tpu.ops.actor_rollout import qnet_policy_layers
+
+    cfg = EnvConfig(grid_size=7, num_plants=2, num_obstacles=2,
+                    lidar_range=2, lidar_channels=4, max_steps=30)
+    env = PlantOS(cfg)
+    B = 8
+    states = _reset_batch(env, B, seed=5)
+    obs = jax.vmap(env.observe)(states)
+    net = QNetwork(num_actions=5, hidden_sizes=(16,))
+    params = net.init(jax.random.PRNGKey(2), obs)
+    layers = qnet_policy_layers(params)
+    leaf = lambda o: jnp.max(net.apply(params, o))
+    mcfg = dict(n_simulations=8, max_depth=10, max_nodes=16)
+
+    plain = MCTSPlanner(env, MCTSConfig(**mcfg), interpret=True)
+    guided = MCTSPlanner(
+        env, MCTSConfig(rollout_policy_prob=1.0, leaf_value_mix=0.5,
+                        **mcfg),
+        leaf_value=leaf, rollout_policy_layers=(layers, "relu"),
+        interpret=True)
+    k = jax.random.PRNGKey(9)
+    a_plain = np.asarray(plain.search_batch_fused(states, k))
+    a_guided = np.asarray(guided.search_batch_fused(states, k))
+    a_guided2 = np.asarray(guided.search_batch_fused(states, k))
+    np.testing.assert_array_equal(a_guided, a_guided2)  # deterministic
+    assert ((a_guided >= 0) & (a_guided < 5)).all()
+    assert not np.array_equal(a_plain, a_guided)  # the levers mattered
