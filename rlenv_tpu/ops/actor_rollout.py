@@ -79,13 +79,18 @@ def _scatter_input_kernel(w0: np.ndarray | jnp.ndarray,
 
 
 def pack_mlp_policy(config: EnvConfig, layers: Sequence[Tuple[jnp.ndarray,
-                                                              jnp.ndarray]]):
+                                                              jnp.ndarray]],
+                    dtype=jnp.float32):
     """Transpose/scatter/pad a flax MLP ``[(kernel, bias), ...]`` stack
     (trunk layers then action head, reference obs layout) into the
     kernel-layout operands :func:`build_actor_rollout`'s actor expects.
 
     Cheap enough to run per eval call (a few hundred KB of copies), so
-    updated params flow straight in with no kernel rebuild.
+    updated params flow straight in with no kernel rebuild. ``dtype``
+    selects the WEIGHT storage/matmul-input precision (pass bfloat16 to
+    pair with ``build_actor_rollout(compute_dtype="bfloat16")`` — the
+    cast must happen here, outside the kernel, or it reruns on every
+    grid step); biases stay float32 (they add into the f32 accumulator).
     """
     perm = _obs_permutation(config)
     obs_pad = _lane_pad(config.obs_dim)
@@ -97,7 +102,7 @@ def pack_mlp_policy(config: EnvConfig, layers: Sequence[Tuple[jnp.ndarray,
             pad = _A_PAD - wt.shape[0]
             wt = jnp.pad(wt, ((0, pad), (0, 0)))
             b = jnp.pad(jnp.asarray(b), (0, pad))
-        ws.append(wt.astype(jnp.float32))
+        ws.append(wt.astype(dtype))
         bs.append(jnp.asarray(b).astype(jnp.float32)[:, None])
     return ws, bs
 
@@ -128,7 +133,8 @@ def actor_critic_policy_layers(params) -> list:
 
 def build_actor_rollout(config: EnvConfig, num_envs: int, horizon: int,
                         n_layers: int, activation: str = "relu",
-                        block_envs: int = 128, interpret: bool = False):
+                        block_envs: int = 128, interpret: bool = False,
+                        compute_dtype: str = "float32"):
     """``horizon`` (policy forward -> env transition) pairs per Pallas
     program.
 
@@ -143,6 +149,12 @@ def build_actor_rollout(config: EnvConfig, num_envs: int, horizon: int,
     ``evaluate_policy(deterministic=True)``, `trainingCode.py:188`).
     Mid-chunk done envs freeze exactly as :func:`build_fused_rollout`:
     state/reward/obs pinned, done latched for the caller's reset.
+
+    ``compute_dtype="bfloat16"`` runs the matmuls at the MXU's native
+    input precision (~4x the f32 MXU rate; accumulation stays f32) —
+    the throughput mode: argmax ties may resolve differently than the
+    f32/XLA forward in the last ulp, so the default stays f32 for the
+    evaluator's near-bit policy agreement.
     """
     from jax.experimental import pallas as pl
 
@@ -182,11 +194,14 @@ def build_actor_rollout(config: EnvConfig, num_envs: int, horizon: int,
             ret_out[:] = jnp.zeros_like(ret_out)
 
         # --- policy forward on the resident observation ---
-        x = obs_res[:]                                     # [OBS_PAD, Bb]
+        # (weights enter PRE-cast to the compute dtype via
+        # pack_mlp_policy — an in-kernel cast would rerun per grid step)
+        cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+        x = obs_res[:].astype(cdt)                         # [OBS_PAD, Bb]
         for i in range(n_layers - 1):
             x = act_fn(jnp.dot(w_refs[i][:], x,
                                preferred_element_type=jnp.float32)
-                       + b_refs[i][:])
+                       + b_refs[i][:]).astype(cdt)
         logits = (jnp.dot(w_refs[-1][:], x,
                           preferred_element_type=jnp.float32)
                   + b_refs[-1][:])                         # [_A_PAD, Bb]

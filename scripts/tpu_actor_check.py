@@ -38,6 +38,8 @@ def sync(x):
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     K = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    dtype = sys.argv[3] if len(sys.argv) > 3 else "float32"
+    block_envs = int(sys.argv[4]) if len(sys.argv) > 4 else 128
     config = EnvConfig.training(max_steps=K)
     env = PlantOS(config)
     fenv = FusedVecPlantOS(env, B)
@@ -45,9 +47,11 @@ def main():
 
     net = QNetwork(num_actions=config.num_actions)
     params = net.init(jax.random.PRNGKey(1), obs0)
-    ws, bs = pack_mlp_policy(config, qnet_policy_layers(params))
+    wdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    ws, bs = pack_mlp_policy(config, qnet_policy_layers(params), dtype=wdt)
 
-    actor = build_actor_rollout(config, B, K, n_layers=len(ws))
+    actor = build_actor_rollout(config, B, K, n_layers=len(ws),
+                                compute_dtype=dtype, block_envs=block_envs)
     actor_j = jax.jit(actor)
     t0 = time.time()
     flat2, last_obs, ret, actions, rewards = actor_j(flat, obs0, ws, bs)
