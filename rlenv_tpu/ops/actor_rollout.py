@@ -304,3 +304,75 @@ def build_actor_rollout(config: EnvConfig, num_envs: int, horizon: int,
                 act_s[:, 0, :], rew_s[:, 0, :])
 
     return actor
+
+
+def build_sharded_actor_rollout(env, num_envs: int, mesh, horizon: int,
+                                n_layers: int, activation: str = "relu",
+                                block_envs: int = 128,
+                                interpret: bool | None = None):
+    """Multi-chip closed agent-env loop: the env batch dp-sharded over the
+    mesh's ``data`` axis, the policy weights REPLICATED.
+
+    Each device runs the SAME policy-in-kernel rollout program the
+    single-chip path runs on its local env shard — envs are independent
+    and the policy is read-only, so this is pure data parallelism with
+    zero collectives per step (the same 'data'-axis sharding the
+    trainers and ``bench.py --mesh`` use). Per-env outputs are
+    bit-identical to single-device execution
+    (``tests/test_actor_rollout.py::test_sharded_actor_rollout_parity``),
+    so N-chip hardware runs the full agent loop with no new code.
+
+    Returns jittable ``(reset_fn, actor_fn)``:
+      * ``reset_fn(key) -> (flat, obs)`` — sharded batch reset (same
+        per-env keys as the single-device path).
+      * ``actor_fn(flat, obs, ws, bs) -> (flat', last_obs, returns,
+        actions, rewards)`` — one device program per shard; ``ws``/``bs``
+        from :func:`pack_mlp_policy`, replicated.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from rlenv_tpu.ops.fused_step import pack_state
+
+    if interpret is None:
+        dev = jax.devices()[0]
+        interpret = not ("tpu" in dev.platform.lower()
+                         or "tpu" in dev.device_kind.lower())
+    n_data = mesh.shape["data"]
+    if num_envs % n_data:
+        raise ValueError(f"num_envs={num_envs} not divisible by the "
+                         f"data-axis size {n_data}")
+    local = num_envs // n_data
+    g = env.config.grid_size
+    v_reset = jax.vmap(env.reset)
+    with jax.ensure_compile_time_eval():
+        actor = build_actor_rollout(env.config, local, horizon,
+                                    n_layers=n_layers,
+                                    activation=activation,
+                                    block_envs=min(block_envs, local),
+                                    interpret=interpret)
+
+    def local_reset(keys):
+        states, obs, _ = v_reset(keys)
+        return pack_state(states, g), obs
+
+    def local_actor(flat, obs, ws, bs):
+        return actor(flat, obs, list(ws), list(bs))
+
+    flat_shape, _ = jax.eval_shape(
+        local_reset, jax.random.split(jax.random.PRNGKey(0), local))
+    dp_state = jax.tree.map(lambda _: P("data"), flat_shape)
+    rep = P()
+    reset_sharded = jax.shard_map(
+        local_reset, mesh=mesh, in_specs=P("data"),
+        out_specs=(dp_state, P("data")), check_vma=False)
+    actor_fn = jax.shard_map(
+        local_actor, mesh=mesh,
+        in_specs=(dp_state, P("data"), rep, rep),
+        out_specs=(dp_state, P("data"), P("data"),
+                   P(None, "data"), P(None, "data")),
+        check_vma=False)
+
+    def reset_fn(key):
+        return reset_sharded(jax.random.split(key, num_envs))
+
+    return reset_fn, actor_fn

@@ -135,3 +135,49 @@ def test_fused_eval_fn_contract():
     # a different seed evaluates different episodes
     r3 = np.asarray(eval_fn(state.params, jnp.int32(8)))
     assert not np.array_equal(r1, r3)
+
+
+def test_sharded_actor_rollout_parity():
+    """The dp-sharded policy-in-kernel loop (env batch over 'data',
+    weights replicated) produces per-env outputs bit-identical to the
+    single-device actor — the correctness gate for running the full
+    agent loop on N chips with no new code."""
+    from rlenv_tpu.ops.actor_rollout import build_sharded_actor_rollout
+    from rlenv_tpu.parallel.mesh import make_mesh
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    config = EnvConfig(grid_size=9, num_plants=2, num_obstacles=3,
+                       lidar_range=2, lidar_channels=4, max_steps=6)
+    env = PlantOS(config)
+    Bs, K = n_dev * 2, 6
+    mesh = make_mesh(n_dev, model_parallel=1)
+    net = QNetwork(num_actions=5, hidden_sizes=(16,))
+
+    reset_fn, actor_fn = build_sharded_actor_rollout(
+        env, Bs, mesh, K, n_layers=2, interpret=True)
+    key = jax.random.PRNGKey(4)
+    s_flat, s_obs = jax.jit(reset_fn)(key)
+    params = net.init(jax.random.PRNGKey(1), s_obs)
+    ws, bs = pack_mlp_policy(config, qnet_policy_layers(params))
+    s_out = jax.jit(actor_fn)(s_flat, s_obs, tuple(ws), tuple(bs))
+
+    fenv = FusedVecPlantOS(env, Bs, interpret=True)
+    r_flat, r_obs, _ = fenv.reset(key)
+    np.testing.assert_array_equal(np.asarray(r_obs), np.asarray(s_obs))
+    actor = build_actor_rollout(config, Bs, K, n_layers=2, interpret=True,
+                                block_envs=Bs // n_dev)
+    r_out = jax.jit(actor)(r_flat, r_obs, ws, bs)
+
+    for got, want, name in zip(s_out, r_out,
+                               ("rolled", "last_obs", "returns",
+                                "actions", "rewards")):
+        if name == "rolled":
+            np.testing.assert_array_equal(np.asarray(got.rolled),
+                                          np.asarray(want.rolled))
+            np.testing.assert_array_equal(np.asarray(got.scal),
+                                          np.asarray(want.scal))
+        else:
+            np.testing.assert_array_equal(np.asarray(got),
+                                          np.asarray(want), err_msg=name)
