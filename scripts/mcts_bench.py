@@ -1,5 +1,9 @@
 import os, time
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+# env-var jax config is frozen before user code on this box
+# (sitecustomize pre-imports jax); use the working form:
+import sys; sys.path.insert(0, ".")
+from rlenv_tpu.utils.jaxcache import enable_persistent_cache
+enable_persistent_cache()
 import jax, jax.numpy as jnp
 from rlenv_tpu import EnvConfig, PlantOS
 from rlenv_tpu.config import MCTSConfig

@@ -10,10 +10,11 @@ do_resets branch firing on every step.
 import os
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(os.path.dirname(
-                          os.path.abspath(__file__))), ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.2")
+# env-var jax config is frozen before user code on this box
+# (sitecustomize pre-imports jax); use the working form:
+import sys; sys.path.insert(0, ".")
+from rlenv_tpu.utils.jaxcache import enable_persistent_cache
+enable_persistent_cache()
 
 import jax
 import jax.numpy as jnp

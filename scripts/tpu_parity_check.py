@@ -12,7 +12,11 @@ rollout kernel (vs iterated per-step fused calls).
 
 import os
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+# env-var jax config is frozen before user code on this box
+# (sitecustomize pre-imports jax); use the working form:
+import sys; sys.path.insert(0, ".")
+from rlenv_tpu.utils.jaxcache import enable_persistent_cache
+enable_persistent_cache()
 
 import jax
 import jax.numpy as jnp
