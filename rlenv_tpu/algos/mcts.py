@@ -356,8 +356,18 @@ class MCTSPlanner:
             g_ws, g_bs = pack_mlp_policy(env.config, layers)
         else:
             g_ws, g_bs, activation = (), (), "relu"
+        mix = cfg.leaf_value_mix if use_leaf else 0.0
+        # Pure value bootstrap (mix >= 1): the rollout's returns are
+        # never consumed, so build a 1-step leaf-obs-only kernel instead
+        # of running (and discarding) max_depth transitions per
+        # simulation — the XLA path's "~max_depth x fewer env steps".
+        pure_value = use_leaf and mix >= 1.0
+        if pure_value:
+            guided, g_ws, g_bs = False, (), ()
+        K_roll = 1 if pure_value else K
         roll = build_mcts_rollout(
-            env.config, B, K, heuristic_prob=cfg.rollout_heuristic_prob,
+            env.config, B, K_roll,
+            heuristic_prob=cfg.rollout_heuristic_prob,
             completion_bonus=cfg.completion_bonus,
             block_envs=min(256, B), interpret=interpret,
             guided_layers=len(g_ws),
@@ -366,7 +376,6 @@ class MCTSPlanner:
             emit_leaf_obs=use_leaf)
         n_rand = 4 if guided else 3
         v_leaf = (jax.vmap(self.leaf_value) if use_leaf else None)
-        mix = cfg.leaf_value_mix if use_leaf else 0.0
         bidx = jnp.arange(B)
 
         def select_flat(mask, new, old):
@@ -415,8 +424,8 @@ class MCTSPlanner:
                 tree, key = carry
                 key, k_exp, k_roll = jax.random.split(key, 3)
                 rand = jax.lax.bitcast_convert_type(
-                    jax.random.bits(k_roll, (K, n_rand, B), jnp.uint32),
-                    jnp.int32)
+                    jax.random.bits(k_roll, (K_roll, n_rand, B),
+                                    jnp.uint32), jnp.int32)
 
                 # --- SELECTION (tree fixed; all B lanes masked) ---
                 def active_mask(node, depth, stop):
@@ -472,21 +481,22 @@ class MCTSPlanner:
 
                 # --- ROLLOUT: one Pallas program for the whole phase
                 # (policy-guided in-kernel when a prior is set) ---
-                if use_leaf:
+                if pure_value:
+                    # K_roll=1 obs-only kernel; its 1-step returns are
+                    # discarded. XLA-path semantics: the +500 rollout
+                    # bonus applies when the LEAF itself is fully
+                    # explored.
+                    from rlenv_tpu.ops.fused_step import (_SC_EXPLORED,
+                                                          _SC_FREE)
+                    _, leaf_obs = roll(flat, depth, rand)
+                    fully = (flat.scal[:, _SC_EXPLORED]
+                             >= flat.scal[:, _SC_FREE])
+                    returns = v_leaf(leaf_obs) + jnp.where(
+                        fully, cfg.completion_bonus, 0.0)
+                elif use_leaf:
                     returns, leaf_obs = roll(flat, depth, rand, g_ws, g_bs)
-                    leaf_v = v_leaf(leaf_obs)              # [B] f32
-                    if mix >= 1.0:
-                        # Pure value bootstrap (XLA-path semantics): the
-                        # +500 rollout bonus applies when the LEAF itself
-                        # is fully explored.
-                        from rlenv_tpu.ops.fused_step import (_SC_EXPLORED,
-                                                              _SC_FREE)
-                        fully = (flat.scal[:, _SC_EXPLORED]
-                                 >= flat.scal[:, _SC_FREE])
-                        returns = leaf_v + jnp.where(
-                            fully, cfg.completion_bonus, 0.0)
-                    else:
-                        returns = (1.0 - mix) * returns + mix * leaf_v
+                    returns = ((1.0 - mix) * returns
+                               + mix * v_leaf(leaf_obs))
                 else:
                     returns = roll(flat, depth, rand, g_ws, g_bs)  # [B]
 

@@ -71,7 +71,6 @@ def run_mcts(n_episodes: int = 50, n_simulations: int = 50,
                 rollout_policy = policy_score_fn(runner)
         else:
             rollout_policy = policy_score_fn(runner)
-            want_prior = rollout_policy_prob > 0
         if fused and want_prior:
             # Raw MLP stack for the in-kernel prior (round 5).
             from rlenv_tpu.ops.actor_rollout import (

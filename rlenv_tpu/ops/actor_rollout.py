@@ -64,7 +64,8 @@ import numpy as np
 from rlenv_tpu.config import EnvConfig
 from rlenv_tpu.ops.fused_step import (FlatEnvState, _SC_COLS, _SC_DONE,
                                       _block_envs_for, _lane_pad,
-                                      _make_transition_t, _obs_permutation,
+                                      _make_transition_t, _mlp_greedy_rows,
+                                      _obs_permutation,
                                       _probe_selector)
 
 _A_PAD = 8  # logit rows, padded for sublane alignment (5 real actions)
@@ -195,22 +196,12 @@ def build_actor_rollout(config: EnvConfig, num_envs: int, horizon: int,
 
         # --- policy forward on the resident observation ---
         # (weights enter PRE-cast to the compute dtype via
-        # pack_mlp_policy — an in-kernel cast would rerun per grid step)
+        # pack_mlp_policy — an in-kernel cast would rerun per grid step;
+        # forward/argmax shared with every parity mirror: _mlp_greedy_rows)
         cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
-        x = obs_res[:].astype(cdt)                         # [OBS_PAD, Bb]
-        for i in range(n_layers - 1):
-            x = act_fn(jnp.dot(w_refs[i][:], x,
-                               preferred_element_type=jnp.float32)
-                       + b_refs[i][:]).astype(cdt)
-        logits = (jnp.dot(w_refs[-1][:], x,
-                          preferred_element_type=jnp.float32)
-                  + b_refs[-1][:])                         # [_A_PAD, Bb]
-        row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
-        logits = jnp.where(row < n_act, logits, -jnp.inf)
-        top = jnp.max(logits, axis=0, keepdims=True)
-        # first-max tie-breaking == jnp.argmax == SB3 q_net.argmax
-        a = jnp.min(jnp.where(logits == top, row, _A_PAD),
-                    axis=0, keepdims=True)                 # [1, Bb]
+        _, a = _mlp_greedy_rows(
+            obs_res[:].astype(cdt), [w[:] for w in w_refs],
+            [b[:] for b in b_refs], act_fn, n_act)         # [1, Bb]
 
         rolled = rolled_out[:]
         sc = scal_out[:]

@@ -515,6 +515,32 @@ def _obs_rows_t(grid, tx, ty, pdx_all, pdy_all, vdx, vdy, sel,
     ], axis=0)                                         # [OBS_PAD, Bb]
 
 
+def _mlp_greedy_rows(x, ws, bs, act_fn, n_act: int):
+    """Greedy action from a transposed-layout MLP forward.
+
+    ``x`` float-ish [OBS_PAD, Bb] kernel-layout observation; ``ws``/``bs``
+    from ``rlenv_tpu.ops.actor_rollout.pack_mlp_policy`` (trunk + padded
+    action head). Computes ``act(W @ x + b)`` per layer (f32 accumulate),
+    masks pad rows to -inf, and returns ``(logits [A_PAD, Bb], action
+    [1, Bb] int32)`` with FIRST-max tie-breaking (== ``jnp.argmax``).
+
+    THE single definition of this forward: the actor kernel, the guided
+    MCTS kernel, the XLA parity mirror and the test oracles all call it,
+    so the bit-parity guarantees cannot drift between copies.
+    """
+    for i in range(len(ws) - 1):
+        x = act_fn(jnp.dot(ws[i], x, preferred_element_type=jnp.float32)
+                   + bs[i]).astype(x.dtype)
+    logits = (jnp.dot(ws[-1], x, preferred_element_type=jnp.float32)
+              + bs[-1])
+    row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+    logits = jnp.where(row < n_act, logits, -jnp.inf)
+    top = jnp.max(logits, axis=0, keepdims=True)
+    action = jnp.min(jnp.where(logits == top, row, logits.shape[0]),
+                     axis=0, keepdims=True).astype(jnp.int32)
+    return logits, action
+
+
 def _make_transition_t(config: EnvConfig, Bb: int):
     """Transposed-layout transition for the chunked rollout kernel.
 

@@ -257,7 +257,8 @@ def build_mcts_rollout(config: EnvConfig, num_envs: int, max_depth: int,
     """
     from jax.experimental import pallas as pl
 
-    from rlenv_tpu.ops.fused_step import (_obs_permutation, _obs_rows_t,
+    from rlenv_tpu.ops.fused_step import (_mlp_greedy_rows,
+                                          _obs_permutation, _obs_rows_t,
                                           _probe_selector)
 
     g = config.grid_size
@@ -310,45 +311,35 @@ def build_mcts_rollout(config: EnvConfig, num_envs: int, max_depth: int,
         done_l = sc[_SC_DONE:_SC_DONE + 1, :] > 0
         active = (d < K) & ~done_l
 
-        obs = None
-        if need_obs and (guided or emit_leaf_obs):
-            # Observation of the CURRENT state (pure fn of grid+position).
-            compute_every_step = guided
-            if compute_every_step:
-                obs = _obs_rows_t(rolled, sc[_SC_RX:_SC_RX + 1, :],
-                                  sc[_SC_RY:_SC_RY + 1, :],
-                                  pdx_ref[:], pdy_ref[:], vdx_ref[:],
-                                  vdy_ref[:], sel_ref[:],
-                                  g, C, Rr, V, OBS_PAD)
-                if emit_leaf_obs:
-                    @pl.when(k == 0)
-                    def _leaf():
-                        leaf_obs_out[:] = obs
-            else:
-                # leaf obs only: one probe pass at grid step 0
+        # Observation of the CURRENT state (pure fn of grid+position):
+        # every step when the prior consumes it, else once for the leaf.
+        if guided:
+            obs = _obs_rows_t(rolled, sc[_SC_RX:_SC_RX + 1, :],
+                              sc[_SC_RY:_SC_RY + 1, :],
+                              pdx_ref[:], pdy_ref[:], vdx_ref[:],
+                              vdy_ref[:], sel_ref[:],
+                              g, C, Rr, V, OBS_PAD)
+            if emit_leaf_obs:
                 @pl.when(k == 0)
                 def _leaf():
-                    leaf_obs_out[:] = _obs_rows_t(
-                        rolled, sc[_SC_RX:_SC_RX + 1, :],
-                        sc[_SC_RY:_SC_RY + 1, :],
-                        pdx_ref[:], pdy_ref[:], vdx_ref[:], vdy_ref[:],
-                        sel_ref[:], g, C, Rr, V, OBS_PAD)
+                    leaf_obs_out[:] = obs
+        elif emit_leaf_obs:
+            # leaf obs only: one probe pass at grid step 0
+            @pl.when(k == 0)
+            def _leaf():
+                leaf_obs_out[:] = _obs_rows_t(
+                    rolled, sc[_SC_RX:_SC_RX + 1, :],
+                    sc[_SC_RY:_SC_RY + 1, :],
+                    pdx_ref[:], pdy_ref[:], vdx_ref[:], vdy_ref[:],
+                    sel_ref[:], g, C, Rr, V, OBS_PAD)
 
         a = _policy_rows(rolled, sc, r0, r1, r2, g, heuristic_prob)
         if guided:
-            x = obs
-            for i in range(guided_layers - 1):
-                x = act_fn(jnp.dot(w_refs[i][:], x,
-                                   preferred_element_type=jnp.float32)
-                           + b_refs[i][:])
-            logits = (jnp.dot(w_refs[-1][:], x,
-                              preferred_element_type=jnp.float32)
-                      + b_refs[-1][:])
-            row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
-            logits = jnp.where(row < n_act, logits, -jnp.inf)
-            top = jnp.max(logits, axis=0, keepdims=True)
-            pol = jnp.min(jnp.where(logits == top, row, logits.shape[0]),
-                          axis=0, keepdims=True)       # first-max argmax
+            # forward/argmax shared with the actor kernel and every
+            # parity mirror (_mlp_greedy_rows)
+            _, pol = _mlp_greedy_rows(obs, [w[:] for w in w_refs],
+                                      [b[:] for b in b_refs], act_fn,
+                                      n_act)
             r3 = r[3:4, :]
             thresh_p = jnp.int32(int(guided_prob * (2**31 - 1)))
             use_pol = (r3 & 0x7FFFFFFF) < thresh_p
@@ -470,7 +461,8 @@ def rollout_returns_xla(env, state: EnvState, d0: jnp.ndarray,
     deltas = jnp.asarray([[-1, 0], [0, 1], [1, 0], [0, -1]], jnp.int32)
     guided = len(guided_ws) > 0
     if guided:
-        from rlenv_tpu.ops.fused_step import _lane_pad, _obs_permutation
+        from rlenv_tpu.ops.fused_step import (_lane_pad, _mlp_greedy_rows,
+                                              _obs_permutation)
         perm_g = jnp.asarray(_obs_permutation(env.config))
         obs_pad = _lane_pad(env.config.obs_dim)
         act_fn = jnp.tanh if guided_activation == "tanh" else \
@@ -480,15 +472,9 @@ def rollout_returns_xla(env, state: EnvState, d0: jnp.ndarray,
         def greedy(s: EnvState):
             obs_ref = v_observe(s)                          # [B, obs_dim]
             x = jnp.zeros((B, obs_pad)).at[:, perm_g].set(obs_ref).T
-            for i in range(len(guided_ws) - 1):
-                x = act_fn(jnp.dot(guided_ws[i], x) + guided_bs[i])
-            logits = jnp.dot(guided_ws[-1], x) + guided_bs[-1]
-            row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
-            logits = jnp.where(row < env.config.num_actions, logits,
-                               -jnp.inf)
-            top = jnp.max(logits, axis=0, keepdims=True)
-            return jnp.min(jnp.where(logits == top, row, logits.shape[0]),
-                           axis=0)                          # [B]
+            _, a = _mlp_greedy_rows(x, guided_ws, guided_bs, act_fn,
+                                    env.config.num_actions)
+            return a[0]                                     # [B]
 
     def policy(s: EnvState, r0, r1, r2):
         nb = s.rover[:, None, :] + deltas[None, :, :]          # [B, 4, 2]

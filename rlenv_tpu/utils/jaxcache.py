@@ -25,6 +25,13 @@ def enable_persistent_cache(path: str | None = None,
 
     current = jax.config.jax_compilation_cache_dir
     if current:
+        # Respect an existing dir, but still lower the persistence
+        # threshold if it sits at jax's 1.0 s default — the small fused
+        # kernels this cache exists for compile in 0.2-1.0 s and would
+        # otherwise silently never be persisted.
+        if jax.config.jax_persistent_cache_min_compile_time_secs == 1.0:
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              min_compile_secs)
         return current
     if path is None:
         path = os.path.join(

@@ -11,7 +11,9 @@ import time
 
 # env-var jax config is frozen before user code on this box
 # (sitecustomize pre-imports jax); use the working form:
-import sys; sys.path.insert(0, ".")
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
 from rlenv_tpu.utils.jaxcache import enable_persistent_cache
 enable_persistent_cache()
 

@@ -45,20 +45,18 @@ def qnet_run():
 
 
 def _same_order_forward(config, obs_ref, ws, bs, activation):
-    """Reference-layout obs -> greedy action, SAME operand order as the
-    kernel (scatter to kernel layout, then W @ x_T)."""
-    from rlenv_tpu.ops.fused_step import _lane_pad, _obs_permutation
+    """Reference-layout obs -> greedy action through THE shared forward
+    (`fused_step._mlp_greedy_rows`) after the kernel-layout scatter —
+    the same code path the kernels run, so equality is exact."""
+    from rlenv_tpu.ops.fused_step import (_lane_pad, _mlp_greedy_rows,
+                                          _obs_permutation)
     perm = _obs_permutation(config)
     act = jnp.tanh if activation == "tanh" else \
         (lambda v: jnp.maximum(v, 0.0))
     x = jnp.zeros((obs_ref.shape[0], _lane_pad(config.obs_dim))
                   ).at[:, perm].set(obs_ref).T
-    for i in range(len(ws) - 1):
-        x = act(jnp.dot(ws[i], x) + bs[i])
-    logits = jnp.dot(ws[-1], x) + bs[-1]
-    row = jnp.arange(logits.shape[0])[:, None]
-    logits = jnp.where(row < config.num_actions, logits, -jnp.inf)
-    return jnp.argmax(logits, axis=0)
+    _, a = _mlp_greedy_rows(x, ws, bs, act, config.num_actions)
+    return a[0]
 
 
 def test_actor_rollout_env_half_replay_parity(qnet_run):

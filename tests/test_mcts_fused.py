@@ -206,3 +206,10 @@ def test_fused_search_guided_with_leaf_value():
     np.testing.assert_array_equal(a_guided, a_guided2)  # deterministic
     assert ((a_guided >= 0) & (a_guided < 5)).all()
     assert not np.array_equal(a_plain, a_guided)  # the levers mattered
+
+    # pure value bootstrap (mix >= 1): rollouts skipped — the fused
+    # search builds a 1-step leaf-obs-only kernel and still plans
+    pure = MCTSPlanner(env, MCTSConfig(leaf_value_mix=1.0, **mcfg),
+                       leaf_value=leaf, interpret=True)
+    a_pure = np.asarray(pure.search_batch_fused(states, k))
+    assert ((a_pure >= 0) & (a_pure < 5)).all()
