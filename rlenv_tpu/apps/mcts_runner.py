@@ -97,6 +97,43 @@ def run_mcts(n_episodes: int = 50, n_simulations: int = 50,
 
     episode_rewards, episode_lengths, exploration_percentages = [], [], []
     key = jax.random.PRNGKey(seed)
+    def make_device_loop(B):
+        """Whole planning EPISODE as one device program: ``horizon``
+        (batched search -> env step) pairs under ``lax.scan``, stats
+        accumulated on device. The per-step host round trips of the
+        Python loop below (~30-40 ms each through this box's device
+        tunnel — about a third of a grid-25 batch's wall-clock) vanish;
+        per-step math, masking and key-splitting are identical, so the
+        stats match the host loop bit-for-bit (render mode keeps the
+        host loop — it needs per-step frames)."""
+        import jax.numpy as jnp
+
+        def body(carry, _):
+            states, key, returns, lengths, expl, alive = carry
+            key, k_search = jax.random.split(key)
+            if fused:
+                actions = planner.search_batch_fused(states, k_search)
+            else:
+                actions = planner.search_batch(
+                    states, jax.random.split(k_search, B))
+            states, _, rewards, term, trunc, info = v_step(states, actions)
+            done = term | trunc
+            returns = returns + rewards * alive
+            lengths = lengths + alive.astype(jnp.int32)
+            expl = jnp.where(alive, info["exploration_percentage"], expl)
+            alive = alive & ~done
+            return (states, key, returns, lengths, expl, alive), None
+
+        def run(states, key):
+            init = (states, key, jnp.zeros(B), jnp.zeros(B, jnp.int32),
+                    jnp.zeros(B), jnp.ones(B, bool))
+            (_, key, returns, lengths, expl, _), _ = jax.lax.scan(
+                body, init, None, length=horizon)
+            return key, returns, lengths, expl
+
+        return jax.jit(run)
+
+    device_loops: dict = {}
     episodes_done = 0
     batch_idx = 0
     while episodes_done < n_episodes:
@@ -104,34 +141,42 @@ def run_mcts(n_episodes: int = 50, n_simulations: int = 50,
         batch_idx += 1
         key, k_reset = jax.random.split(key)
         states, _, _ = jax.vmap(env.reset)(jax.random.split(k_reset, B))
-        returns = np.zeros(B)
-        lengths = np.zeros(B, dtype=int)
-        expl = np.zeros(B)
-        alive = np.ones(B, dtype=bool)
         t0 = time.time()
-        for step in range(horizon):
-            key, k_search = jax.random.split(key)
-            if fused:
-                # Packed-state search with the rollout phase as one Pallas
-                # program per simulation (`algos/mcts.py`); TPU fast path.
-                actions = planner.search_batch_fused(states, k_search)
-            else:
-                actions = planner.search_batch(states,
-                                               jax.random.split(k_search, B))
-            states, _, rewards, term, trunc, info = v_step(states, actions)
-            done = np.asarray(term | trunc)
-            r = np.asarray(rewards)
-            e = np.asarray(info["exploration_percentage"])
-            returns += r * alive
-            lengths += alive
-            expl = np.where(alive, e, expl)
-            alive &= ~done
-            if render:
+        if not render:
+            if B not in device_loops:
+                device_loops[B] = make_device_loop(B)
+            key, d_ret, d_len, d_expl = device_loops[B](states, key)
+            returns = np.asarray(d_ret)
+            lengths = np.asarray(d_len)
+            expl = np.asarray(d_expl)
+        else:
+            returns = np.zeros(B)
+            lengths = np.zeros(B, dtype=int)
+            expl = np.zeros(B)
+            alive = np.ones(B, dtype=bool)
+            for step in range(horizon):
+                key, k_search = jax.random.split(key)
+                if fused:
+                    # Packed-state search with the rollout phase as one
+                    # Pallas program per simulation (`algos/mcts.py`).
+                    actions = planner.search_batch_fused(states, k_search)
+                else:
+                    actions = planner.search_batch(
+                        states, jax.random.split(k_search, B))
+                states, _, rewards, term, trunc, info = v_step(states,
+                                                               actions)
+                done = np.asarray(term | trunc)
+                r = np.asarray(rewards)
+                e = np.asarray(info["exploration_percentage"])
+                returns += r * alive
+                lengths += alive
+                expl = np.where(alive, e, expl)
+                alive &= ~done
                 from rlenv_tpu.render.render2d import render_frame
                 render_frame(jax.tree.map(lambda x: x[0], states),
                              env_cfg.lidar_channels, env_cfg.lidar_range)
-            if not alive.any():
-                break
+                if not alive.any():
+                    break
         episode_rewards += list(returns)
         episode_lengths += list(lengths)
         exploration_percentages += list(expl)
