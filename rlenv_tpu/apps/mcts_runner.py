@@ -241,6 +241,7 @@ def main() -> None:
                              "(1-mix)*rollout + mix*V(leaf) from the "
                              "--policy checkpoint's critic; 1.0 skips "
                              "rollouts entirely")
+    parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
     run_mcts(n_episodes=args.episodes, n_simulations=args.simulations,
              grid_size=args.grid_size, num_plants=args.plants,
@@ -248,7 +249,7 @@ def main() -> None:
              render=args.render, fused=args.fused,
              policy_path=args.policy, policy_type=args.policy_type,
              rollout_policy_prob=args.policy_prob,
-             leaf_value_mix=args.leaf_value_mix,
+             leaf_value_mix=args.leaf_value_mix, seed=args.seed,
              save_dir="mcts_models" if args.mode == "train" else None)
 
 
