@@ -318,9 +318,12 @@ class MCTSPlanner:
 
         2x faster than ``search_batch`` on TPU at the reference planner
         config (206 ms vs 414 ms per 256-env batched search,
-        runs/mcts_bench_r2.log): the rollout while_loop collapses into one
-        kernel launch per simulation, leaving the per-simulation
-        selection/backprop tree ops as the remaining cost."""
+        runs/mcts_bench_r2.log) — and ~52-61x for GUIDED/leaf-value
+        search (round 5: the prior's MLP runs in the rollout kernel, the
+        leaf obs is kernel-emitted; RESULTS.md). The rollout while_loop
+        collapses into one kernel launch per simulation, leaving the
+        per-simulation selection/backprop tree ops as the remaining
+        cost."""
         B = root_states.rover.shape[0]
         if B not in self._fused_cache:
             self._fused_cache[B] = self._build_fused_search(B)
