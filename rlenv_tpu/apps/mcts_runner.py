@@ -242,10 +242,14 @@ def main() -> None:
                              "--policy checkpoint's critic; 1.0 skips "
                              "rollouts entirely")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--max-depth", type=int, default=100,
+                        help="tree+rollout depth cap per simulation "
+                             "(the reference's max_depth)")
     args = parser.parse_args()
     run_mcts(n_episodes=args.episodes, n_simulations=args.simulations,
              grid_size=args.grid_size, num_plants=args.plants,
-             num_obstacles=args.obstacles, parallel=args.parallel,
+             num_obstacles=args.obstacles, max_depth=args.max_depth,
+             parallel=args.parallel,
              render=args.render, fused=args.fused,
              policy_path=args.policy, policy_type=args.policy_type,
              rollout_policy_prob=args.policy_prob,
