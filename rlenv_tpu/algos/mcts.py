@@ -379,6 +379,11 @@ class MCTSPlanner:
             emit_leaf_obs=use_leaf)
         n_rand = 4 if guided else 3
         v_leaf = (jax.vmap(self.leaf_value) if use_leaf else None)
+        # AlphaZero-style PUCT selection (config docstring): prior over a
+        # node's children = softmax of the trained policy's scores on the
+        # node's OWN observation, captured free at expansion (the step
+        # kernel emits the stepped-to state's obs).
+        use_puct = cfg.puct_c > 0 and self.rollout_policy is not None
         bidx = jnp.arange(B)
 
         def select_flat(mask, new, old):
@@ -388,13 +393,22 @@ class MCTSPlanner:
                 key=old.key)
 
         def ucb_children(tree, node):
-            """Batched `_ucb_child` (`mcts_custom_trainer.py:38-59`)."""
+            """Batched `_ucb_child` (`mcts_custom_trainer.py:38-59`);
+            PUCT scoring instead when ``cfg.puct_c > 0``."""
             kids = tree["children"][bidx, node]            # [B, 5]
             exists = kids >= 0
             safe = jnp.maximum(kids, 0)
             cv = tree["visits"][bidx[:, None], safe].astype(jnp.float32)
             cval = tree["value"][bidx[:, None], safe]
             pv = tree["visits"][bidx, node].astype(jnp.float32)[:, None]
+            if use_puct:
+                q = jnp.where(cv > 0, cval / jnp.maximum(cv, 1.0), 0.0)
+                pri = tree["prior"][bidx, node]            # [B, 5]
+                ucb = q + cfg.puct_c * pri * (
+                    jnp.sqrt(jnp.maximum(pv, 1.0)) / (1.0 + cv))
+                ucb = jnp.where(exists, ucb, -jnp.inf)
+                a = jnp.argmax(ucb, axis=-1).astype(jnp.int32)
+                return kids[bidx, a], a
             ucb = jnp.where(
                 cv == 0, jnp.inf,
                 cval / jnp.maximum(cv, 1.0)
@@ -422,6 +436,12 @@ class MCTSPlanner:
                 untried=jnp.ones((B, N, 5), bool),
                 count=jnp.ones((B,), jnp.int32),          # node 0 = root
             )
+            if use_puct:
+                root_prior = jax.nn.softmax(
+                    self.rollout_policy(jax.vmap(env.observe)(root_states))
+                    / cfg.puct_prior_temp, axis=-1)       # [B, 5]
+                tree["prior"] = jnp.full(
+                    (B, N, 5), 0.2).at[:, 0].set(root_prior)
 
             def simulation(_, carry):
                 tree, key = carry
@@ -465,7 +485,7 @@ class MCTSPlanner:
                 logits = jnp.where(any_untried[:, None], logits, 0.0)
                 exp_a = jax.random.categorical(k_exp, logits
                                                ).astype(jnp.int32)
-                nf, _, _, _, _, _ = step(flat, exp_a)
+                nf, exp_obs, _, _, _, _ = step(flat, exp_a)
                 flat = select_flat(can, nf, flat)
                 new_idx = jnp.minimum(tree["count"], N - 1)
                 parent = tree["parent"].at[bidx, new_idx].set(
@@ -477,9 +497,17 @@ class MCTSPlanner:
                     jnp.where(can, False,
                               tree["untried"][bidx, node, exp_a]))
                 tree = dict(
-                    visits=tree["visits"], value=tree["value"],
+                    tree,
                     parent=parent, children=children, untried=untried,
                     count=tree["count"] + can.astype(jnp.int32))
+                if use_puct:
+                    # the step kernel already emitted the NEW node's obs
+                    new_prior = jax.nn.softmax(
+                        self.rollout_policy(exp_obs)
+                        / cfg.puct_prior_temp, axis=-1)   # [B, 5]
+                    tree["prior"] = tree["prior"].at[bidx, new_idx].set(
+                        jnp.where(can[:, None], new_prior,
+                                  tree["prior"][bidx, new_idx]))
                 node = jnp.where(can, new_idx, node)
 
                 # --- ROLLOUT: one Pallas program for the whole phase

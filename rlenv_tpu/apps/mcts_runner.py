@@ -38,6 +38,7 @@ def run_mcts(n_episodes: int = 50, n_simulations: int = 50,
              policy_type: str = "auto",
              rollout_policy_prob: float = 0.8,
              leaf_value_mix: float = 0.0,
+             puct_c: float = 0.0, puct_prior_temp: float = 50.0,
              verbose: bool = True) -> dict:
     """Plan with MCTS over batches of episodes; returns the stats dict
     (same keys as the reference pickles, `mcts_custom_trainer.py:347-353`).
@@ -88,7 +89,10 @@ def run_mcts(n_episodes: int = 50, n_simulations: int = 50,
                                                         32),
                                           rollout_policy_prob=
                                           rollout_policy_prob,
-                                          leaf_value_mix=leaf_value_mix),
+                                          leaf_value_mix=leaf_value_mix,
+                                          puct_c=puct_c,
+                                          puct_prior_temp=
+                                          puct_prior_temp),
                           rollout_policy=rollout_policy,
                           leaf_value=leaf_value,
                           rollout_policy_layers=rollout_policy_layers)
@@ -245,6 +249,12 @@ def main() -> None:
     parser.add_argument("--max-depth", type=int, default=100,
                         help="tree+rollout depth cap per simulation "
                              "(the reference's max_depth)")
+    parser.add_argument("--puct-c", type=float, default=0.0,
+                        help="AlphaZero-style PUCT selection with the "
+                             "--policy prior (fused search; 0 = UCB1)")
+    parser.add_argument("--puct-temp", type=float, default=50.0,
+                        help="softmax temperature for the PUCT prior "
+                             "(Q-values are return-scale; T >> 1)")
     args = parser.parse_args()
     run_mcts(n_episodes=args.episodes, n_simulations=args.simulations,
              grid_size=args.grid_size, num_plants=args.plants,
@@ -254,6 +264,7 @@ def main() -> None:
              policy_path=args.policy, policy_type=args.policy_type,
              rollout_policy_prob=args.policy_prob,
              leaf_value_mix=args.leaf_value_mix, seed=args.seed,
+             puct_c=args.puct_c, puct_prior_temp=args.puct_temp,
              save_dir="mcts_models" if args.mode == "train" else None)
 
 

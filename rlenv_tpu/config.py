@@ -299,3 +299,15 @@ class MCTSConfig:
     # then applies only when the leaf itself is fully explored). 0 = off
     # (reference semantics, `mcts_custom_trainer.py:127-134`).
     leaf_value_mix: float = 0.0
+    # AlphaZero-style PUCT selection (opt-in, fused search only): with
+    # puct_c > 0 and MCTSPlanner(rollout_policy=...) set, child selection
+    # scores Q_mean + puct_c * P(a) * sqrt(N_parent) / (1 + N_child)
+    # instead of UCB1, where P = softmax(policy_scores / puct_prior_temp)
+    # of the node's own observation (captured free at expansion — the
+    # step kernel emits it). Round 4-5 measured the TREE policy as the
+    # binding quality constraint; PUCT puts the trained prior there.
+    # 0 = off (UCB1, reference semantics).
+    puct_c: float = 0.0
+    # Temperature for the prior softmax. DQN Q-VALUES (return-scale,
+    # hundreds apart) need T >> 1 or the prior saturates to one-hot.
+    puct_prior_temp: float = 50.0
