@@ -335,29 +335,39 @@ def train(algo: str = "a2c",
                   f"{mean_ret:.1f} ± {std_ret:.1f} "
                   f"(best {best_eval_return:.1f})", flush=True)
 
-    def _curriculum_successes(state) -> Optional[int]:
+    def _curriculum_success_array(state):
         # Curriculum threshold successes tracked on device
         # (`CurriculumState.successful_explorations`); None without one.
         # Logged as its own line — distinct from 'Mazes completed', which
         # always counts >=100%-explored episodes (the reference callback's
         # definition, `trainingCode.py:300-318`).
         env_state = state.env_state
-        if hasattr(env_state, "successful_explorations"):
-            return int(np.asarray(
-                env_state.successful_explorations).sum())
-        return None
+        return getattr(env_state, "successful_explorations", None)
 
     t0 = time.time()
-    start_steps = int(state.stats.timesteps)
+    start_steps = int(jax.device_get(state.stats.timesteps))
+    timesteps = start_steps
     try:
-        while int(state.stats.timesteps) < total_timesteps:
+        while timesteps < total_timesteps:
             state, metrics = run_chunk(state)
-            timesteps = int(state.stats.timesteps)
-            summary = monitor.drain(state.stats)
+            # ONE batched device→host transfer per chunk. Through the
+            # axon tunnel every array fetch is a separate round trip, so
+            # the old field-by-field reads (timesteps, the 5 stats-ring
+            # arrays, each metrics scalar, the curriculum counter —
+            # 10-15 blocking fetches) cost ~0.5 s of host time per chunk,
+            # more than many chunks' device time (profile_a2c_r4.log:
+            # 69.3 s end-to-end over ~31 s of device time). device_get
+            # of one tuple fetches every leaf in a single sync and is
+            # bit-identical by construction.
+            stats_h, metrics_h, cur_h = jax.device_get(
+                (state.stats, metrics, _curriculum_success_array(state)))
+            timesteps = int(stats_h.timesteps)
+            summary = monitor.drain(stats_h)
             train_log.maybe_log(
-                timesteps, state.stats,
-                curriculum_successes=_curriculum_successes(state))
-            scalars = {f"train/{k}": float(v) for k, v in metrics.items()}
+                timesteps, stats_h,
+                curriculum_successes=(int(cur_h.sum())
+                                      if cur_h is not None else None))
+            scalars = {f"train/{k}": float(v) for k, v in metrics_h.items()}
             scalars.update({f"rollout/{k}": v for k, v in summary.items()})
             tb.scalars(timesteps, scalars)
             _maybe_eval(state, timesteps)
